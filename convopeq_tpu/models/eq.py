@@ -1,0 +1,256 @@
+"""20-band parametric EQ — TPU-native rebuild of the reference EQProcessor.
+
+Behavioral parity with src/eqprocessor/EQProcessor.* :
+- 20 bands (NUM_BANDS=20), 4 filter channels L/R/Mid/Side
+  (EQProcessor.h:153-155), 5 band types, 5 channel modes, Serial/Parallel
+  structures, per-band enable + the "|gain| < 0.01 dB => inactive" skip for
+  non-LP/HP bands (EQProcessor.Coefficients.cpp:49-53).
+- Serial structure: bands cascade in index order
+  (EQProcessor.Processing.cpp:676-760).
+- Parallel structure: out = src + sum_b(band_b(src) - src)
+  (EQProcessor.Processing.cpp:776-860).
+- Mid/Side: m=(L+R)/2, s=(L-R)/2; filtered component recombined as
+  L=m'+s / R=m'-s (Processing.cpp:700-740).
+- AGC: block-rate RMS envelope follower with attack 0.2 s / release 2.0 s /
+  smoothing 0.2 s, gain in [0.06, 16], +-0.5 dB dead zone
+  (EQProcessor.h:166-171, Processing.cpp:343-446).
+
+TPU-first design: EQ *parameters* are static configuration (the reference
+also treats them as non-RT state, rebuilt off the audio thread and published
+via RCU — here a param change is a retrace, cached by config hash at the
+engine layer).  Band routing is therefore resolved at trace time: only the
+filters a band actually needs are evaluated, each as an O(log N)-depth
+associative scan batched across streams.  The only sequential scan is the
+AGC block-rate envelope (over blocks, not samples).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import svf as svf_ops
+from ..ops.svf import svf_coeffs, svf_process
+
+NUM_BANDS = 20
+# Channel modes (EQProcessor.h: enum class EQChannelMode)
+STEREO, LEFT, RIGHT, MID, SIDE = 0, 1, 2, 3, 4
+# Structures (EQProcessor.h: enum class FilterStructure)
+SERIAL, PARALLEL = 0, 1
+
+# Default band frequencies (EQProcessor.h:158-163)
+DEFAULT_FREQS = np.array([
+    25.0, 40.0, 63.0, 100.0, 160.0,
+    250.0, 400.0, 630.0, 1000.0, 1600.0,
+    2500.0, 4000.0, 6300.0, 10000.0, 11000.0,
+    12500.0, 14000.0, 16500.0, 18000.0, 19500.0,
+])
+DEFAULT_Q = 0.707
+
+# AGC constants (EQProcessor.h:166-171, Processing.cpp:343-446)
+AGC_ATTACK_TIME_SEC = 0.2
+AGC_RELEASE_TIME_SEC = 2.0
+AGC_SMOOTH_TIME_SEC = 0.2
+AGC_MIN_GAIN = 0.06
+AGC_MAX_GAIN = 16.0
+AGC_MAX_ENV = 1000.0
+AGC_MIN_ENV = 1e-6
+AGC_DEAD_ZONE_RATIO = 1.059
+AGC_DENORM = 1.0e-20
+
+
+@dataclass
+class EQParams:
+    """Full EQ parameter set (mirrors the reference EQState snapshot)."""
+    band_types: np.ndarray = field(
+        default_factory=lambda: np.full(NUM_BANDS, svf_ops.PEAKING, np.int32))
+    freqs: np.ndarray = field(default_factory=lambda: DEFAULT_FREQS.copy())
+    gains_db: np.ndarray = field(default_factory=lambda: np.zeros(NUM_BANDS))
+    qs: np.ndarray = field(default_factory=lambda: np.full(NUM_BANDS, DEFAULT_Q))
+    modes: np.ndarray = field(default_factory=lambda: np.zeros(NUM_BANDS, np.int32))
+    enabled: np.ndarray = field(default_factory=lambda: np.ones(NUM_BANDS, bool))
+    structure: int = SERIAL
+    saturation: float = 0.0
+    agc_enabled: bool = False
+
+    def set_band(self, i, band_type=None, freq=None, gain_db=None, q=None,
+                 mode=None, enabled=None):
+        if band_type is not None:
+            self.band_types[i] = band_type
+        if freq is not None:
+            self.freqs[i] = freq
+        if gain_db is not None:
+            self.gains_db[i] = gain_db
+        if q is not None:
+            self.qs[i] = q
+        if mode is not None:
+            self.modes[i] = mode
+        if enabled is not None:
+            self.enabled[i] = enabled
+        return self
+
+    def config_key(self):
+        """Hashable content key (the engine's compiled-fn cache key).
+
+        Plays the role of the reference's EQCoeffCache paramsHash
+        (EQProcessor.h:121-138).
+        """
+        return (self.band_types.tobytes(), self.freqs.tobytes(),
+                self.gains_db.tobytes(), self.qs.tobytes(),
+                self.modes.tobytes(), self.enabled.tobytes(),
+                self.structure, float(self.saturation), bool(self.agc_enabled))
+
+
+def band_active_mask(params: EQParams) -> np.ndarray:
+    """createBandNode activity rule (EQProcessor.Coefficients.cpp:35-53).
+
+    The gain skip compares the float32 band gain against 0.01f.
+    """
+    types = np.asarray(params.band_types)
+    gains_f32 = np.abs(np.asarray(params.gains_db, np.float32))
+    not_passband = (types != svf_ops.LOW_PASS) & (types != svf_ops.HIGH_PASS)
+    tiny_gain = gains_f32 < np.float32(0.01)
+    return np.asarray(params.enabled, bool) & ~(not_passband & tiny_gain)
+
+
+def _band_apply(L, R, coeffs_b, mode: int, saturation: float):
+    """Apply one band (static mode) and return (L_out, R_out).
+
+    Only the channel filters the mode needs are evaluated.  Stereo bands
+    batch L and R into one scan (the analog of the reference's SSE2-packed
+    processBandStereo, which also uses the clamped-tanh saturation form).
+    """
+    if mode == STEREO:
+        lr = jnp.stack([L, R], axis=-2)
+        f, _ = svf_process(lr, coeffs_b, saturation=saturation, simd_tanh=True)
+        return f[..., 0, :], f[..., 1, :]
+    if mode == LEFT:
+        f, _ = svf_process(L, coeffs_b, saturation=saturation, simd_tanh=False)
+        return f, R
+    if mode == RIGHT:
+        f, _ = svf_process(R, coeffs_b, saturation=saturation, simd_tanh=False)
+        return L, f
+    if mode == MID:
+        m = (L + R) * 0.5
+        s = (L - R) * 0.5
+        fm, _ = svf_process(m, coeffs_b, saturation=saturation, simd_tanh=False)
+        return fm + s, fm - s
+    if mode == SIDE:
+        m = (L + R) * 0.5
+        s = (L - R) * 0.5
+        fs, _ = svf_process(s, coeffs_b, saturation=saturation, simd_tanh=False)
+        return m + fs, m - fs
+    raise ValueError(f"bad channel mode {mode}")
+
+
+def eq_process_bands(x, params: EQParams, sample_rate):
+    """Run the 20 band filters (no AGC). x: (..., 2, N) stereo, time last."""
+    x = jnp.asarray(x)
+    L = x[..., 0, :]
+    R = x[..., 1, :]
+    active = band_active_mask(params)
+    coeffs = svf_coeffs(params.band_types, params.freqs, params.gains_db,
+                        params.qs, sample_rate)
+    sat = float(params.saturation)
+
+    if params.structure == SERIAL:
+        for b in range(NUM_BANDS):
+            if not active[b]:
+                continue
+            cb = tuple(float(c[b]) for c in coeffs)
+            L, R = _band_apply(L, R, cb, int(params.modes[b]), sat)
+    else:
+        srcL, srcR = L, R
+        accL = jnp.zeros_like(L)
+        accR = jnp.zeros_like(R)
+        for b in range(NUM_BANDS):
+            if not active[b]:
+                continue
+            cb = tuple(float(c[b]) for c in coeffs)
+            Lb, Rb = _band_apply(srcL, srcR, cb, int(params.modes[b]), sat)
+            accL = accL + (Lb - srcL)
+            accR = accR + (Rb - srcR)
+        L = srcL + accL
+        R = srcR + accR
+    return jnp.stack([L, R], axis=-2)
+
+
+def _agc_gain_target(env_in, env_out):
+    """calculateAGCGain (EQProcessor.Processing.cpp:343-360)."""
+    ratio = env_in / jnp.maximum(env_out, AGC_MIN_ENV)
+    in_dead_zone = (ratio > 1.0 / AGC_DEAD_ZONE_RATIO) & (ratio < AGC_DEAD_ZONE_RATIO)
+    target = jnp.clip(ratio, AGC_MIN_GAIN, AGC_MAX_GAIN)
+    target = jnp.where(in_dead_zone, 1.0, target)
+    return jnp.where(env_out < AGC_MIN_ENV, 1.0, target)
+
+
+def agc_apply(x_pre, x_post, sample_rate, block_size):
+    """Block-rate AGC over the whole signal (processAGC semantics).
+
+    x_pre:  EQ input (..., 2, N)  -> input RMS envelope source
+    x_post: post-band signal (..., 2, N) -> output RMS + gain applied here.
+    N must be a multiple of block_size (pad upstream).
+    Returns gain-ramped x_post.
+    """
+    x_pre = jnp.asarray(x_pre)
+    x_post = jnp.asarray(x_post)
+    dt = x_post.dtype
+    n = x_post.shape[-1]
+    nb = n // block_size
+    assert nb * block_size == n, "signal length must be a block multiple"
+
+    def block_rms_max(sig):
+        blocks = sig[..., :nb * block_size].reshape(
+            sig.shape[:-1] + (nb, block_size))
+        r = jnp.sqrt(jnp.mean(blocks * blocks, axis=-1))   # (..., 2, nb)
+        return jnp.max(r, axis=-2)                          # (..., nb)
+
+    in_rms = jnp.minimum(block_rms_max(x_pre), AGC_MAX_ENV)
+    out_rms = jnp.minimum(block_rms_max(x_post), AGC_MAX_ENV)
+
+    # blockAlpha = agc*CoeffTable[numSamples] = 1 - exp(-N/(sr*T))
+    # (EQProcessor.Core.cpp:776-778) — host libm for exact parity.
+    aA = 1.0 - np.exp(-block_size / (sample_rate * AGC_ATTACK_TIME_SEC))
+    aR = 1.0 - np.exp(-block_size / (sample_rate * AGC_RELEASE_TIME_SEC))
+    aS = 1.0 - np.exp(-block_size / (sample_rate * AGC_SMOOTH_TIME_SEC))
+
+    def step(carry, rms_b):
+        env_in, env_out, gain = carry
+        rin, rout = rms_b
+        ain = jnp.where(rin > env_in, aA, aR)
+        aout = jnp.where(rout > env_out, aA, aR)
+        env_in = env_in * (1.0 - ain) + rin * ain
+        env_out = env_out * (1.0 - aout) + rout * aout
+        env_in = jnp.where(env_in < AGC_DENORM, 0.0, env_in)
+        env_out = jnp.where(env_out < AGC_DENORM, 0.0, env_out)
+        target = _agc_gain_target(env_in, env_out)
+        next_gain = gain * (1.0 - aS) + target * aS
+        return (env_in, env_out, next_gain), (gain, next_gain)
+
+    batch = in_rms.shape[:-1]
+    init = (jnp.zeros(batch, dt), jnp.zeros(batch, dt), jnp.ones(batch, dt))
+    rms_seq = (jnp.moveaxis(in_rms, -1, 0), jnp.moveaxis(out_rms, -1, 0))
+    _, (g0, g1) = jax.lax.scan(step, init, rms_seq)        # (nb, ...)
+    g0 = jnp.moveaxis(g0, 0, -1)                            # (..., nb)
+    g1 = jnp.moveaxis(g1, 0, -1)
+
+    # Per-sample ramp: gain_n = g0 + n * (g1-g0)/block_size (applyGainRamp)
+    ramp = (jnp.arange(block_size, dtype=dt) / block_size)
+    gains = g0[..., None] + (g1 - g0)[..., None] * ramp     # (..., nb, bs)
+    gains = gains.reshape(gains.shape[:-2] + (n,))[..., None, :]  # (...,1,N)
+    return x_post * gains
+
+
+def eq_process(x, params: EQParams, sample_rate, block_size=512):
+    """Full EQ: bands + optional AGC.  x: (..., 2, N), time on last axis.
+
+    With AGC disabled the result is block-size-invariant (linear state
+    threading); with AGC enabled `block_size` reproduces the reference's
+    callback-block-rate envelope updates.
+    """
+    y = eq_process_bands(x, params, sample_rate)
+    if params.agc_enabled:
+        y = agc_apply(x, y, sample_rate, block_size)
+    return y

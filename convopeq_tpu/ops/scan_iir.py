@@ -1,0 +1,211 @@
+"""Linear recurrences as parallel (associative) scans.
+
+Every IIR structure in the signal chain — TPT-SVF EQ bands, output-filter
+biquads, K-weighting filters, one-pole DC blockers — is *linear* in its
+state: s[n+1] = A s[n] + b[n].  Composition of affine maps is associative,
+so the whole recurrence evaluates with `jax.lax.associative_scan` in
+O(log N) depth, fully parallel across VPU lanes and batch dims — this is the
+TPU-native replacement for the reference's per-sample scalar/SSE2 loops
+(ref: src/eqprocessor/EQProcessor.Processing.cpp:128-275).
+
+Conventions
+-----------
+- Time is the LAST axis of `bu`; leading axes are batch.
+- The 2x2 transition matrix A may be constant per-batch (shape (..., 2, 2))
+  with `bu` shape (..., N, 2).
+- Returned `pre_states` are the states *before* consuming each sample
+  (s[0..N-1]), which is what output equations need; `final_state` is s[N].
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_combine(left, right):
+    """Compose affine maps elementwise: right ∘ left (left applied first).
+
+    Each element is (m11, m12, m21, m22, v1, v2) representing
+    x -> M x + v with M = [[m11, m12], [m21, m22]].
+    """
+    l11, l12, l21, l22, lv1, lv2 = left
+    r11, r12, r21, r22, rv1, rv2 = right
+    m11 = r11 * l11 + r12 * l21
+    m12 = r11 * l12 + r12 * l22
+    m21 = r21 * l11 + r22 * l21
+    m22 = r21 * l12 + r22 * l22
+    v1 = r11 * lv1 + r12 * lv2 + rv1
+    v2 = r21 * lv1 + r22 * lv2 + rv2
+    return (m11, m12, m21, m22, v1, v2)
+
+
+DEFAULT_CHUNK = 4096
+
+
+def affine_scan_2x2(A, bu, s0, chunk: int = DEFAULT_CHUNK):
+    """Evaluate s[n+1] = A @ s[n] + bu[n] for constant A.
+
+    Two-level blocked parallel scan: an in-chunk inclusive
+    `associative_scan` (size `chunk`, vectorized over all chunks and batch
+    dims) composes per-sample affine maps; a second small scan over the
+    per-chunk total maps propagates chunk-boundary states; an elementwise
+    pass applies chunk-start states to the in-chunk prefix maps.  Keeping
+    both scans small bounds XLA compile time independently of N while
+    remaining O(log) depth (no sequential sample loop anywhere).
+
+    Args:
+      A:  (..., 2, 2) constant transition matrix (broadcast against batch).
+      bu: (..., N, 2) per-sample affine offsets.
+      s0: (..., 2) initial state.
+      chunk: in-chunk scan size (static).
+
+    Returns:
+      (pre_states, final_state):
+        pre_states (..., N, 2) — state before each sample (s[0..N-1]).
+        final_state (..., 2)   — s[N].
+    """
+    bu = jnp.asarray(bu)
+    batch = bu.shape[:-2]
+    n = bu.shape[-2]
+    A = jnp.asarray(A, bu.dtype)
+    s0 = jnp.broadcast_to(jnp.asarray(s0, bu.dtype), batch + (2,))
+
+    chunk = min(chunk, n)
+    nc = -(-n // chunk)
+    npad = nc * chunk
+    if npad != n:
+        # Zero-pad the drive; A is unchanged so padded prefix maps are
+        # valid (their outputs are sliced away below).
+        pad = [(0, 0)] * (bu.ndim - 2) + [(0, npad - n), (0, 0)]
+        bu = jnp.pad(bu, pad)
+
+    shp = batch + (nc, chunk)                       # element layout
+    b1 = bu[..., 0].reshape(shp)
+    b2 = bu[..., 1].reshape(shp)
+    a11 = jnp.broadcast_to(A[..., 0, 0][..., None, None], shp)
+    a12 = jnp.broadcast_to(A[..., 0, 1][..., None, None], shp)
+    a21 = jnp.broadcast_to(A[..., 1, 0][..., None, None], shp)
+    a22 = jnp.broadcast_to(A[..., 1, 1][..., None, None], shp)
+
+    # Phase 1: in-chunk inclusive prefix maps.
+    m11, m12, m21, m22, v1, v2 = jax.lax.associative_scan(
+        _affine_combine, (a11, a12, a21, a22, b1, b2), axis=-1)
+
+    if nc > 1:
+        # Phase 2: propagate chunk-start states.  The per-chunk total map is
+        # the last in-chunk prefix; an inclusive scan over chunks then gives
+        # the state AFTER each chunk; shift right to get chunk-start states.
+        tot = tuple(t[..., -1] for t in (m11, m12, m21, m22, v1, v2))
+        c11, c12, c21, c22, cv1, cv2 = jax.lax.associative_scan(
+            _affine_combine, tot, axis=-1)
+        post_c1 = c11 * s0[..., :1] + c12 * s0[..., 1:] + cv1   # (..., nc)
+        post_c2 = c21 * s0[..., :1] + c22 * s0[..., 1:] + cv2
+        start1 = jnp.concatenate([s0[..., :1], post_c1[..., :-1]], axis=-1)
+        start2 = jnp.concatenate([s0[..., 1:], post_c2[..., :-1]], axis=-1)
+    else:
+        start1 = s0[..., :1]
+        start2 = s0[..., 1:]
+
+    # Phase 3: states after each sample = in-chunk prefix applied to the
+    # chunk-start state; pre-states are the right-shift within each chunk.
+    st1 = start1[..., None]
+    st2 = start2[..., None]
+    post1 = m11 * st1 + m12 * st2 + v1
+    post2 = m21 * st1 + m22 * st2 + v2
+    pre1 = jnp.concatenate([st1, post1[..., :-1]], axis=-1)
+    pre2 = jnp.concatenate([st2, post2[..., :-1]], axis=-1)
+
+    pre1 = pre1.reshape(batch + (npad,))[..., :n]
+    pre2 = pre2.reshape(batch + (npad,))[..., :n]
+    postf1 = post1.reshape(batch + (npad,))[..., n - 1]
+    postf2 = post2.reshape(batch + (npad,))[..., n - 1]
+
+    pre_states = jnp.stack([pre1, pre2], axis=-1)
+    final_state = jnp.stack([postf1, postf2], axis=-1)
+    return pre_states, final_state
+
+
+def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None):
+    """Transposed-direct-form-II biquad via associative scan.
+
+    y[n]  = b0 x[n] + z1[n]
+    z1[n+1] = b1 x[n] - a1 y[n] + z2[n]
+    z2[n+1] = b2 x[n] - a2 y[n]
+
+    Substituting y[n] gives a linear state recurrence in (z1, z2):
+      z1' = -a1 z1 + z2 + (b1 - a1 b0) x
+      z2' = -a2 z1      + (b2 - a2 b0) x
+
+    Coefficients are scalars or arrays broadcastable against the batch
+    shape x.shape[:-1]; time is the last axis of x.
+
+    Returns (y, final_state).
+    """
+    x = jnp.asarray(x)
+    dt = x.dtype
+    batch = x.shape[:-1]
+    b0 = jnp.broadcast_to(jnp.asarray(b0, dt), batch)
+    b1 = jnp.broadcast_to(jnp.asarray(b1, dt), batch)
+    b2 = jnp.broadcast_to(jnp.asarray(b2, dt), batch)
+    a1 = jnp.broadcast_to(jnp.asarray(a1, dt), batch)
+    a2 = jnp.broadcast_to(jnp.asarray(a2, dt), batch)
+
+    one = jnp.ones(batch, dt)
+    zero = jnp.zeros(batch, dt)
+    A = jnp.stack([
+        jnp.stack([-a1, one], axis=-1),
+        jnp.stack([-a2, zero], axis=-1),
+    ], axis=-2)
+    c1 = (b1 - a1 * b0)[..., None]
+    c2 = (b2 - a2 * b0)[..., None]
+    bu = jnp.stack([x * c1, x * c2], axis=-1)
+
+    if s0 is None:
+        s0 = jnp.zeros(batch + (2,), dt)
+    pre, final = affine_scan_2x2(A, bu, s0)
+    y = b0[..., None] * x + pre[..., 0]
+    return y, final
+
+
+def one_pole_scan(x, a, b, s0=0.0):
+    """s[n+1] = a*s[n] + b*x[n]; returns pre-states (s[0..N-1]) and s[N].
+
+    Used for DC blockers and envelope followers.  `a`, `b` broadcast against
+    x.shape[:-1]; time is the last axis.
+    """
+    x = jnp.asarray(x)
+    dt = x.dtype
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    b_b = jnp.broadcast_to(jnp.asarray(b, dt), batch)[..., None]
+    bu = b_b * x
+
+    chunk = min(DEFAULT_CHUNK, n)
+    nc = -(-n // chunk)
+    npad = nc * chunk
+    if npad != n:
+        bu = jnp.pad(bu, [(0, 0)] * (bu.ndim - 1) + [(0, npad - n)])
+    shp = batch + (nc, chunk)
+    bu = bu.reshape(shp)
+    ae = jnp.broadcast_to(jnp.asarray(a, dt)[..., None, None]
+                          if jnp.ndim(a) else jnp.asarray(a, dt), shp)
+
+    def combine(l, r):
+        la, lv = l
+        ra, rv = r
+        return (ra * la, ra * lv + rv)
+
+    ms, vs = jax.lax.associative_scan(combine, (ae, bu), axis=-1)
+    s0_b = jnp.broadcast_to(jnp.asarray(s0, dt), batch)
+    if nc > 1:
+        cm, cv = jax.lax.associative_scan(
+            combine, (ms[..., -1], vs[..., -1]), axis=-1)
+        post_c = cm * s0_b[..., None] + cv
+        start = jnp.concatenate([s0_b[..., None], post_c[..., :-1]], axis=-1)
+    else:
+        start = s0_b[..., None]
+    post = ms * start[..., None] + vs
+    pre = jnp.concatenate([start[..., None], post[..., :-1]], axis=-1)
+    pre = pre.reshape(batch + (npad,))[..., :n]
+    final = post.reshape(batch + (npad,))[..., n - 1]
+    return pre, final

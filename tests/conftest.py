@@ -1,0 +1,17 @@
+import os
+
+# Must run before jax import: force CPU with 8 virtual devices so sharding
+# tests exercise a multi-chip mesh without TPU hardware.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Hard override: the environment may point JAX_PLATFORMS at a tunneled TPU
+# (axon); unit tests must run on the local CPU backend in f64.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms to "axon,cpu"; override it
+# back before any backend is initialized so tests run on local CPU in f64.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,109 @@
+"""20-band EQ model vs per-sample golden model."""
+import numpy as np
+import jax.numpy as jnp
+
+from convopeq_tpu.models.eq import (
+    EQParams, eq_process, eq_process_bands, agc_apply, SERIAL, PARALLEL,
+)
+from golden import eq_serial_golden, eq_parallel_golden, agc_golden
+
+RNG = np.random.default_rng(7)
+SR = 48000.0
+
+
+def _mk_params(bands, structure=SERIAL, saturation=0.0, agc=False):
+    p = EQParams(structure=structure, saturation=saturation, agc_enabled=agc)
+    p.enabled[:] = False
+    for i, b in enumerate(bands):
+        p.set_band(i, band_type=b["type"], freq=b["freq"], gain_db=b["gain_db"],
+                   q=b["q"], mode=b.get("mode", 0), enabled=b.get("enabled", True))
+    return p
+
+
+BANDS_MIXED = [
+    {"type": 0, "freq": 60.0, "gain_db": 4.0, "q": 0.707, "mode": 0},
+    {"type": 1, "freq": 250.0, "gain_db": -3.0, "q": 1.4, "mode": 0},
+    {"type": 1, "freq": 1000.0, "gain_db": 6.0, "q": 2.0, "mode": 3},   # Mid
+    {"type": 1, "freq": 3000.0, "gain_db": -4.5, "q": 0.9, "mode": 4},  # Side
+    {"type": 2, "freq": 9000.0, "gain_db": 2.5, "q": 0.707, "mode": 0},
+    {"type": 1, "freq": 5000.0, "gain_db": 3.0, "q": 3.0, "mode": 1},   # Left
+    {"type": 1, "freq": 7000.0, "gain_db": -2.0, "q": 3.0, "mode": 2},  # Right
+    {"type": 4, "freq": 30.0, "gain_db": 0.0, "q": 0.707, "mode": 0},   # HP (0dB stays active)
+    {"type": 3, "freq": 18000.0, "gain_db": 0.0, "q": 0.707, "mode": 0},# LP
+    {"type": 1, "freq": 440.0, "gain_db": 0.005, "q": 1.0, "mode": 0},  # inactive (tiny gain)
+]
+
+
+def _stereo_sig(n=4096):
+    return RNG.normal(size=(2, n)) * 0.4
+
+
+def test_eq_serial_matches_golden():
+    x = _stereo_sig()
+    params = _mk_params(BANDS_MIXED, structure=SERIAL)
+    got = np.asarray(eq_process(jnp.asarray(x), params, SR))
+    refL, refR = eq_serial_golden(x[0], x[1], BANDS_MIXED, SR)
+    err = np.sqrt(np.mean((got - np.stack([refL, refR])) ** 2))
+    assert err < 1e-11, err
+
+
+def test_eq_serial_saturation_matches_golden():
+    x = _stereo_sig(2048) * 2.0
+    params = _mk_params(BANDS_MIXED, structure=SERIAL, saturation=0.5)
+    got = np.asarray(eq_process(jnp.asarray(x), params, SR))
+    refL, refR = eq_serial_golden(x[0], x[1], BANDS_MIXED, SR, saturation=0.5)
+    err = np.sqrt(np.mean((got - np.stack([refL, refR])) ** 2))
+    assert err < 1e-11, err
+
+
+def test_eq_parallel_matches_golden():
+    x = _stereo_sig(2048)
+    params = _mk_params(BANDS_MIXED, structure=PARALLEL)
+    got = np.asarray(eq_process(jnp.asarray(x), params, SR))
+    refL, refR = eq_parallel_golden(x[0], x[1], BANDS_MIXED, SR)
+    err = np.sqrt(np.mean((got - np.stack([refL, refR])) ** 2))
+    assert err < 1e-11, err
+
+
+def test_eq_disabled_band_is_identity():
+    x = _stereo_sig(1024)
+    params = EQParams()
+    params.enabled[:] = False
+    got = np.asarray(eq_process(jnp.asarray(x), params, SR))
+    np.testing.assert_allclose(got, x, atol=0)
+
+
+def test_eq_default_params_zero_gain_is_identity():
+    # default peaking bands at 0 dB are inactive (|gain| < 0.01)
+    x = _stereo_sig(512)
+    got = np.asarray(eq_process(jnp.asarray(x), EQParams(), SR))
+    np.testing.assert_allclose(got, x, atol=0)
+
+
+def test_eq_batched_streams():
+    x = RNG.normal(size=(3, 2, 1024)) * 0.3
+    params = _mk_params(BANDS_MIXED[:5])
+    got = np.asarray(eq_process(jnp.asarray(x), params, SR))
+    for i in range(3):
+        refL, refR = eq_serial_golden(x[i, 0], x[i, 1], BANDS_MIXED[:5], SR)
+        np.testing.assert_allclose(got[i], np.stack([refL, refR]), atol=1e-11)
+
+
+def test_agc_matches_golden():
+    n, bs = 8192, 512
+    pre = RNG.normal(size=(2, n)) * 0.2
+    post = pre * 2.5   # pretend EQ boosted by 8 dB
+    got = np.asarray(agc_apply(jnp.asarray(pre), jnp.asarray(post), SR, bs))
+    ref = agc_golden(pre, post, SR, bs)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_eq_with_agc_end_to_end():
+    n, bs = 4096, 256
+    x = _stereo_sig(n)
+    bands = BANDS_MIXED[:4]
+    params = _mk_params(bands, agc=True)
+    got = np.asarray(eq_process(jnp.asarray(x), params, SR, block_size=bs))
+    refL, refR = eq_serial_golden(x[0], x[1], bands, SR)
+    ref = agc_golden(x, np.stack([refL, refR]), SR, bs)
+    np.testing.assert_allclose(got, ref, atol=1e-11)
