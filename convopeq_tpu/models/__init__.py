@@ -1,1 +1,1 @@
-from . import eq  # noqa: F401
+from . import chain, convolver, eq, gain_planner, nuc, output_filter  # noqa: F401

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,7 +67,7 @@ class FilterSpec:
     tail_l1l2_multiplier: int = 8
 
 
-@dataclass
+@dataclass(frozen=True)
 class NUCLayerPlan:
     offset: int        # IR offset of this layer's segment
     length: int        # segment length in samples
@@ -75,10 +77,10 @@ class NUCLayerPlan:
     damping: float | None  # air-absorption damping coeff (None = off)
 
 
-@dataclass
+@dataclass(frozen=True)
 class NUCPlan:
     """Host-side layer layout (the SetImpulse sizing logic, cpp:738-768)."""
-    layers: list
+    layers: tuple
     direct_taps: int
     latency: int
     block_size: int
@@ -140,9 +142,9 @@ def plan_layers(ir_len: int, block_size: int, spec: FilterSpec,
     cfg = [(0, l0_len, l0_part, 1.0, dampings[0]),
            (l0_len, l1_len, l1_part, l1_gain, dampings[1]),
            (l0_len + l1_len, l2_len, l2_part, l2_gain, dampings[2])]
-    layers = [NUCLayerPlan(offset=o, length=ln, part_size=p,
-                           num_parts=-(-ln // p), gain=g, damping=d)
-              for (o, ln, p, g, d) in cfg if ln > 0]
+    layers = tuple(NUCLayerPlan(offset=o, length=ln, part_size=p,
+                                num_parts=-(-ln // p), gain=g, damping=d)
+                   for (o, ln, p, g, d) in cfg if ln > 0)
 
     direct_part = next_pow2(max(block_size, 64))
     direct_taps = (min(ir_len, min(direct_part, K_MAX_DIRECT_TAPS))
@@ -197,10 +199,28 @@ def air_absorption_gain(fft_size: int, damping: float) -> np.ndarray:
 
 @dataclass
 class NUCState:
-    """Prepared NUC instance: plan + device-side spectra + direct head."""
+    """Prepared NUC instance: plan + device-side spectra + direct head.
+
+    Registered as a JAX pytree (plan static, arrays as leaves) so prepared
+    states are passed as jit ARGUMENTS rather than closure constants —
+    closure-captured device arrays would be read back to host for constant
+    embedding, which some TPU runtimes don't support for complex dtypes.
+    """
     plan: NUCPlan
     layer_spectra: list        # per layer: (num_parts, P+1) complex
     direct_ir: jnp.ndarray | None
+
+
+def _nuc_flatten(s: NUCState):
+    return ((s.layer_spectra, s.direct_ir), s.plan)
+
+
+def _nuc_unflatten(plan, children):
+    spectra, direct = children
+    return NUCState(plan=plan, layer_spectra=spectra, direct_ir=direct)
+
+
+jax.tree_util.register_pytree_node(NUCState, _nuc_flatten, _nuc_unflatten)
 
 
 def nuc_prepare(ir, block_size: int, spec: FilterSpec | None = None,

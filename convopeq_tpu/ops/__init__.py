@@ -1,1 +1,2 @@
-from . import fast_tanh, scan_iir, svf  # noqa: F401
+from . import (dc_blocker, fast_tanh, oversample, partitioned_conv,  # noqa: F401
+               scan_iir, softclip, svf)

@@ -33,8 +33,9 @@ def equal_power_sin(x):
 
     Ref: equalPowerSin, src/convolver/ConvolverProcessor.Runtime.cpp:26-31 —
     wet gain = equal_power_sin(mix), dry gain = equal_power_sin(1-mix).
+    Host NumPy (mix is configuration, evaluated at trace time).
     """
-    t = jnp.asarray(x) * (np.pi * 0.5)
+    t = np.asarray(x, np.float64) * (np.pi * 0.5)
     t2 = t * t
     return t * (1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0
                 + t2 * (-1.0 / 5040.0 + t2 * (1.0 / 362880.0)))))

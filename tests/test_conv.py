@@ -200,3 +200,15 @@ def test_air_absorption_damping_applied():
         ref += lp.gain * delayed
     err = np.sqrt(np.mean((y - ref) ** 2)) / max(np.sqrt(np.mean(ref ** 2)), 1e-30)
     assert err < 1e-11, err
+
+
+def test_frame_mac_fft_matches_conv():
+    x = RNG.normal(size=5000)
+    h = RNG.normal(size=2000)
+    P = 128
+    H = partition_spectra(h, P)
+    y_conv = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H, P,
+                                                 frame_mac="conv"))
+    y_fft = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H, P,
+                                                frame_mac="fft"))
+    np.testing.assert_allclose(y_fft, y_conv, atol=1e-10)
