@@ -1,0 +1,359 @@
+"""Dither / noise-shaping engines — rebuild of the four reference shapers.
+
+- PsychoacousticDither (src/PsychoacousticDither.h): 12th-order
+  error-feedback shaper, kCoeffTable[6 SR bands][3 bit depths][12], TPDF
+  dither added BEFORE quantization together with the shaped error:
+    tmp = x*headroom + tpdf*scale + sum_i c_i z_i ; q = round(tmp/scale)*scale
+    z = shift(z, error = tmp - q)
+- FixedNoiseShaper (src/FixedNoiseShaper.h): 4th-order, 10 SR presets with
+  linear interpolation;  y = x*headroom - sum c_i e_i; q = quantize(y)
+  where quantize clamps to [-1, 1-scale], adds TPDF, rounds; error
+  e0 = clamp(q - y, +-2*scale).
+- Fixed15TapNoiseShaper (src/Fixed15TapNoiseShaper.h): same structure,
+  ORDER=16 (default table has 15 non-zero coefficients).
+- LatticeNoiseShaper (src/LatticeNoiseShaper.h): 9th-order lattice-ladder;
+  feedback = sum c_i s_i; tmp = x*headroom + feedback; q = quantize(tmp)
+  (with the additional +-fullscale integer clamp); err = clamp(q-tmp,
+  +-2*scale); lattice state advance with per-stage clamp +-2.0; consumes
+  learned reflection coefficients (clamped to |k| <= 0.85).
+
+The error-feedback loop is nonlinear through the quantizer, so it cannot
+be an associative scan: each shaper is a `lax.scan` over samples, batched
+across streams/channels (throughput comes from the batch dim).
+
+RNG: the dither draws do not depend on the audio, so they are precomputed
+as an input array.  Two sources:
+- `xoshiro_uniforms` — exact NumPy transcription of the reference's
+  Xoshiro256++ fallback (bit-parity testing);
+- `jax.random.uniform` — fast on-device generation for production.
+(The reference's primary RNG is an MKL VSL SFMT19937 ring; SFMT is not
+reimplemented — dither output is compared statistically, SURVEY.md §7.6.)
+
+Rounding: round-half-to-even, matching SSE4.1 _MM_FROUND_TO_NEAREST_INT.
+
+Parity note: error-feedback quantizers are chaotic at the ULP level —
+FP contraction (FMA) differences between compilers flip occasional
+half-LSB rounding decisions and the noise trajectory diverges (this is
+equally true between two builds of the reference itself under fp:fast).
+The testable contract is: identical quantization grid, divergence bounded
+by the shaper's feedback gain, determinism, and spectral equivalence.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dsputil import K_OUTPUT_HEADROOM
+
+# Noise shaper types (AudioEngine NoiseShaperType)
+PSYCHOACOUSTIC, FIXED4, FIXED15, ADAPTIVE9 = 0, 1, 2, 3
+
+NS_ORDER_PSYCHO = 12
+NS_ORDER_FIXED4 = 4
+NS_ORDER_FIXED15 = 16
+NS_ORDER_LATTICE = 9
+
+# kCoeffTable (src/PsychoacousticDither.h:192-250): [SR band][bit preset][12]
+PSYCHO_COEFF_TABLE = np.array([
+    [[2.93, -5.06, 6.97, -7.66, 7.11, -5.63, 3.96, -2.18, 0.80, -0.24, 0.10, -0.04],
+     [2.49, -4.30, 5.92, -6.51, 6.05, -4.79, 3.37, -1.86, 0.68, -0.20, 0.08, -0.03],
+     [2.04, -3.52, 4.85, -5.34, 4.95, -3.92, 2.76, -1.52, 0.56, -0.17, 0.07, -0.03]],
+    [[2.85, -4.92, 6.78, -7.45, 6.92, -5.48, 3.85, -2.12, 0.78, -0.23, 0.09, -0.04],
+     [2.42, -4.18, 5.75, -6.32, 5.87, -4.65, 3.27, -1.80, 0.66, -0.20, 0.08, -0.03],
+     [1.98, -3.42, 4.71, -5.18, 4.81, -3.81, 2.68, -1.47, 0.54, -0.16, 0.06, -0.03]],
+    [[3.28, -5.66, 7.80, -8.57, 7.96, -6.30, 4.43, -2.44, 0.90, -0.27, 0.11, -0.05],
+     [2.78, -4.80, 6.61, -7.26, 6.75, -5.34, 3.75, -2.07, 0.76, -0.23, 0.09, -0.04],
+     [2.28, -3.94, 5.42, -5.95, 5.53, -4.38, 3.08, -1.69, 0.62, -0.19, 0.07, -0.03]],
+    [[3.71, -6.40, 8.82, -9.69, 9.00, -7.12, 5.01, -2.76, 1.02, -0.31, 0.12, -0.05],
+     [3.15, -5.44, 7.50, -8.24, 7.65, -6.05, 4.25, -2.34, 0.86, -0.26, 0.10, -0.04],
+     [2.58, -4.46, 6.15, -6.75, 6.27, -4.96, 3.48, -1.92, 0.70, -0.21, 0.08, -0.03]],
+    [[4.12, -7.10, 9.78, -10.75, 9.98, -7.89, 5.55, -3.06, 1.13, -0.34, 0.14, -0.06],
+     [3.49, -6.03, 8.31, -9.13, 8.47, -6.70, 4.71, -2.59, 0.95, -0.29, 0.11, -0.05],
+     [2.86, -4.94, 6.81, -7.48, 6.94, -5.49, 3.86, -2.12, 0.78, -0.23, 0.09, -0.04]],
+    [[4.48, -7.73, 10.64, -11.70, 10.86, -8.59, 6.04, -3.33, 1.23, -0.37, 0.15, -0.06],
+     [3.80, -6.56, 9.04, -9.93, 9.22, -7.29, 5.13, -2.82, 1.04, -0.31, 0.12, -0.05],
+     [3.11, -5.37, 7.41, -8.13, 7.55, -5.97, 4.20, -2.31, 0.85, -0.26, 0.10, -0.04]],
+])
+
+# FixedNoiseShaper presets (src/FixedNoiseShaper.h:298-314)
+FIXED4_PRESET_RATES = np.array([44100.0, 48000.0, 88200.0, 96000.0, 176400.0,
+                                192000.0, 352800.0, 384000.0, 705600.0, 768000.0])
+FIXED4_PRESETS = np.array([
+    [0.394958, 0.319775, 0.145569, 0.139697],
+    [0.460000, 0.280000, 0.170000, 0.090000],
+    [0.727810, 0.189547, 0.125028, -0.042385],
+    [0.742333, 0.185474, 0.106133, -0.033940],
+    [0.775904, 0.126967, 0.043467, 0.053661],
+    [0.774132, 0.117440, 0.047291, 0.061137],
+    [0.724647, 0.094403, 0.113208, 0.067743],
+    [0.714605, 0.097798, 0.124553, 0.063045],
+    [0.635851, 0.161114, 0.194506, 0.008529],
+    [0.624827, 0.174509, 0.201424, -0.000760],
+])
+
+# Fixed15TapNoiseShaper default (src/Fixed15TapNoiseShaper.h:466; ORDER=16,
+# the 16th coefficient is zero)
+FIXED15_DEFAULT = np.array([2.172009, -2.313034, 2.092949, -1.698718,
+                            1.304487, -0.946581, 0.645299, -0.415598,
+                            0.251068, -0.141026, 0.072650, -0.033120,
+                            0.012821, -0.004274, 0.001068, 0.0])
+
+LATTICE_COEFF_LIMIT = 0.85       # clampCoeff (LatticeNoiseShaper.h:116)
+LATTICE_STATE_LIMIT = 2.0        # kLatticeStateLimit (advanceState)
+ERROR_CLAMP_FACTOR = 2.0         # error clamp +-2*scale
+
+
+def psycho_sr_band(sample_rate: float) -> int:
+    """SR band select (PsychoacousticDither.h:253-258)."""
+    for band, limit in enumerate([46050.0, 72000.0, 144000.0, 264600.0, 529200.0]):
+        if sample_rate < limit:
+            return band
+    return 5
+
+
+def psycho_coeffs(sample_rate: float, bit_depth: int) -> np.ndarray:
+    bp = 0 if bit_depth <= 16 else 1 if bit_depth <= 24 else 2
+    return PSYCHO_COEFF_TABLE[psycho_sr_band(sample_rate)][bp].copy()
+
+
+def fixed4_coeffs(sample_rate: float) -> np.ndarray:
+    """selectPresetWithInterpolation (FixedNoiseShaper.h:316-340)."""
+    r = FIXED4_PRESET_RATES
+    if sample_rate <= r[0]:
+        return FIXED4_PRESETS[0].copy()
+    if sample_rate >= r[-1]:
+        return FIXED4_PRESETS[-1].copy()
+    i = int(np.searchsorted(r, sample_rate, side="right")) - 1
+    t = (sample_rate - r[i]) / (r[i + 1] - r[i])
+    return (1.0 - t) * FIXED4_PRESETS[i] + t * FIXED4_PRESETS[i + 1]
+
+
+def quant_scales(bit_depth: int):
+    scale = 1.0 / (2.0 ** (bit_depth - 1))
+    inv_scale = 2.0 ** (bit_depth - 1)
+    return scale, inv_scale
+
+
+# ---------------------------------------------------------------------------
+# RNG
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+class Xoshiro256pp:
+    """Exact transcription of the reference Xoshiro256++ (python ints)."""
+
+    def __init__(self, s):
+        self.s = [int(v) & _M64 for v in s]
+
+    @staticmethod
+    def _rotl(x, k):
+        return ((x << k) | (x >> (64 - k))) & _M64
+
+    def next_u64(self):
+        s = self.s
+        result = (self._rotl((s[0] + s[3]) & _M64, 23) + s[0]) & _M64
+        t = (s[1] << 17) & _M64
+        s[2] ^= s[0]
+        s[3] ^= s[1]
+        s[1] ^= s[2]
+        s[0] ^= s[3]
+        s[2] ^= t
+        s[3] = self._rotl(s[3], 45)
+        return result
+
+    def uniform(self):
+        return (self.next_u64() >> 11) * (1.0 / 9007199254740992.0)
+
+
+# Reference per-channel seeds (FixedNoiseShaper.h / LatticeNoiseShaper.h)
+XOSHIRO_SEEDS = [
+    (0x123456789ABCDEF0, 0xFEDCBA9876543210, 0x0123456789ABCDEF, 0xEFCDAB8967452301),
+    (0x89ABCDEF01234567, 0x76543210FEDCBA98, 0xABCDEF0123456789, 0x67452301EFCDAB89),
+]
+
+
+def xoshiro_uniforms(n: int, channel: int = 0) -> np.ndarray:
+    rng = Xoshiro256pp(XOSHIRO_SEEDS[channel % len(XOSHIRO_SEEDS)])
+    return np.array([rng.uniform() for _ in range(n)])
+
+
+def tpdf_from_uniforms(u: jnp.ndarray) -> jnp.ndarray:
+    """TPDF in [-1, 1]: (u1-0.5)+(u2-0.5); u shape (..., N, 2)."""
+    return (u[..., 0] - 0.5) + (u[..., 1] - 0.5)
+
+
+def make_uniforms(key, shape):
+    """On-device uniforms for production dithering (counter-based PRNG)."""
+    return jax.random.uniform(key, shape, dtype=jnp.float64
+                              if jax.config.jax_enable_x64 else jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Shaper kernels (lax.scan over samples, batch on leading dims)
+# ---------------------------------------------------------------------------
+
+def _round_half_even(v):
+    return jnp.round(v)   # jnp.round is round-half-to-even, matching SSE4.1
+
+
+def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
+                  headroom: float = K_OUTPUT_HEADROOM):
+    """PsychoacousticDither.processStereoBlock (PsychoacousticDither.h:280+).
+
+    x: (..., N); uniforms: (..., N, 2) in [0,1).  Returns quantized signal.
+    """
+    if bit_depth <= 0:
+        return x * headroom
+    x = jnp.asarray(x)
+    dt = x.dtype
+    c = jnp.asarray(psycho_coeffs(sample_rate, bit_depth), dt)
+    scale, _ = quant_scales(bit_depth)
+    d = tpdf_from_uniforms(jnp.asarray(uniforms, dt)) * scale
+    batch = x.shape[:-1]
+
+    def step(z, inp):
+        xi, di = inp
+        # explicit left-to-right sum: error-feedback loops are chaotic at
+        # the ULP level, so the reduction order is part of the contract
+        shaped = c[0] * z[..., 0]
+        for i in range(1, NS_ORDER_PSYCHO):
+            shaped = shaped + c[i] * z[..., i]
+        tmp = xi * headroom + di + shaped
+        q = _round_half_even(tmp / scale) * scale
+        err = tmp - q
+        z = jnp.concatenate([err[..., None], z[..., :-1]], axis=-1)
+        return z, q
+
+    z0 = jnp.zeros(batch + (NS_ORDER_PSYCHO,), dt)
+    xs = (jnp.moveaxis(x, -1, 0), jnp.moveaxis(d, -1, 0))
+    _, q = jax.lax.scan(step, z0, xs)
+    return jnp.moveaxis(q, 0, -1)
+
+
+def _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp: bool):
+    """FixedNoiseShaper/Lattice quantize(): clamp -> TPDF -> round(-half-even).
+
+    extra_clamp adds the Lattice variant's integer-range clamp
+    (LatticeNoiseShaper.h:203-227)."""
+    y = jnp.clip(y, -1.0, 1.0 - 1.0 / inv_scale)
+    y = y + (u1 + u2 - 1.0) * scale
+    q = _round_half_even(y * inv_scale)
+    if extra_clamp:
+        q = jnp.clip(q, -inv_scale, inv_scale - 1.0)
+    return q * scale
+
+
+def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
+                        headroom: float = K_OUTPUT_HEADROOM):
+    """FixedNoiseShaper / Fixed15TapNoiseShaper processSample loop:
+    y = x*headroom - sum c_i e_i; q = quantize(y); e0 = clamp(q-y, 2 scale)."""
+    if bit_depth <= 0:
+        return x * headroom
+    x = jnp.asarray(x)
+    dt = x.dtype
+    c = jnp.asarray(coeffs, dt)
+    order = c.shape[0]
+    scale, inv_scale = quant_scales(bit_depth)
+    u = jnp.asarray(uniforms, dt)
+    batch = x.shape[:-1]
+
+    def step(e, inp):
+        xi, u1, u2 = inp
+        fb = c[0] * e[..., 0]
+        for i in range(1, order):
+            fb = fb + c[i] * e[..., i]
+        y = xi * headroom - fb
+        q = _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp=False)
+        err = jnp.clip(q - y, -ERROR_CLAMP_FACTOR * scale,
+                       ERROR_CLAMP_FACTOR * scale)
+        e = jnp.concatenate([err[..., None], e[..., :-1]], axis=-1)
+        return e, q
+
+    e0 = jnp.zeros(batch + (order,), dt)
+    xs = (jnp.moveaxis(x, -1, 0),
+          jnp.moveaxis(u[..., 0], -1, 0), jnp.moveaxis(u[..., 1], -1, 0))
+    _, q = jax.lax.scan(step, e0, xs)
+    return jnp.moveaxis(q, 0, -1)
+
+
+def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
+                   headroom: float = K_OUTPUT_HEADROOM):
+    """LatticeNoiseShaper (LatticeNoiseShaper.h:229-295):
+    feedback = sum c_i s_i (ladder tap-out); tmp = x*h + feedback;
+    q = quantize(tmp) with fullscale clamp; err clamped +-2*scale drives the
+    lattice state advance with per-stage clamp +-2.0."""
+    if bit_depth <= 0:
+        return x * headroom
+    x = jnp.asarray(x)
+    dt = x.dtype
+    k = np.clip(np.nan_to_num(np.asarray(reflection_coeffs, np.float64)),
+                -LATTICE_COEFF_LIMIT, LATTICE_COEFF_LIMIT)
+    k = jnp.asarray(k, dt)
+    order = k.shape[0]
+    scale, inv_scale = quant_scales(bit_depth)
+    u = jnp.asarray(uniforms, dt)
+    batch = x.shape[:-1]
+
+    def step(s, inp):
+        xi, u1, u2 = inp
+        fb = k[0] * s[..., 0]
+        for i in range(1, order):
+            fb = fb + k[i] * s[..., i]
+        tmp = xi * headroom + fb
+        q = _ef_quantize(tmp, u1, u2, scale, inv_scale, extra_clamp=True)
+        err = jnp.clip(q - tmp, -ERROR_CLAMP_FACTOR * scale,
+                       ERROR_CLAMP_FACTOR * scale)
+
+        def stage(fwd, sk):
+            si, ki = sk
+            nf = fwd + ki * si
+            nb = jnp.clip(ki * fwd + si, -LATTICE_STATE_LIMIT,
+                          LATTICE_STATE_LIMIT)
+            return nf, nb
+
+        fwd = err
+        new_s = []
+        for i in range(order):
+            fwd, nb = stage(fwd, (s[..., i], k[i]))
+            new_s.append(nb)
+        s = jnp.stack(new_s, axis=-1)
+        return s, q
+
+    s0 = jnp.zeros(batch + (order,), dt)
+    xs = (jnp.moveaxis(x, -1, 0),
+          jnp.moveaxis(u[..., 0], -1, 0), jnp.moveaxis(u[..., 1], -1, 0))
+    _, q = jax.lax.scan(step, s0, xs)
+    return jnp.moveaxis(q, 0, -1)
+
+
+def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
+                 uniforms=None, key=None, adaptive_coeffs=None,
+                 headroom: float = K_OUTPUT_HEADROOM):
+    """Dither dispatch (DSPCoreDouble.cpp:644-653).  x: (..., N).
+
+    uniforms: (..., N, 2) in [0,1); generated from `key` if omitted.
+    bit_depth <= 0 disables quantization (headroom only)."""
+    x = jnp.asarray(x)
+    if bit_depth <= 0:
+        return x * headroom
+    if uniforms is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        uniforms = jax.random.uniform(key, x.shape + (2,), dtype=x.dtype)
+    if shaper_type == PSYCHOACOUSTIC:
+        return psycho_dither(x, uniforms, sample_rate, bit_depth, headroom)
+    if shaper_type == FIXED4:
+        return fixed_shaper_dither(x, uniforms, fixed4_coeffs(sample_rate),
+                                   bit_depth, headroom)
+    if shaper_type == FIXED15:
+        return fixed_shaper_dither(x, uniforms, FIXED15_DEFAULT, bit_depth,
+                                   headroom)
+    if shaper_type == ADAPTIVE9:
+        k = adaptive_coeffs if adaptive_coeffs is not None else np.zeros(9)
+        return lattice_dither(x, uniforms, k, bit_depth, headroom)
+    raise ValueError(f"unknown shaper type {shaper_type}")
