@@ -1,0 +1,445 @@
+"""ConvoPeqEngine — the user-facing engine (AudioEngine-equivalent API).
+
+The reference's engine surface (SURVEY.md §2.2, src/audioengine/
+AudioEngine.h): IR load with phase/tail modes, 20-band EQ parameters,
+processing order, oversampling factor, soft clip, wet/dry, auto gain,
+dither selection, latency breakdown, and full-state save/load.  The entire
+ISR/RCU publication machinery collapses into functional config -> a
+compiled-chain cache: a parameter change produces a new static config
+whose jitted graph is cached by content key (the analog of
+RuntimeBuilder -> publishWorld, SURVEY.md §7.8).
+
+IR load pipeline (the LoaderThread stages, ConvolverProcessor.
+LoaderThread.cpp:392-413):
+  LoadIR -> Trim (target length + 2% tail fade, peak-latency centroid
+  estimate) -> Transform (resample / min-phase / mixed-phase) ->
+  energy scale (1/sqrt(max channel energy) * -6 dB) -> Build (NUC
+  partition spectra) -> publish.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+import numpy as np
+
+from ..ir.analyzer import estimate_max_frequency_gain, ir_peak_gain_db
+from ..ir.phase import minimum_phase, mixed_phase_fallback, mixed_phase_allpass
+from ..ir.resample import resample_ir
+from ..models.chain import (ChainConfig, process_chain,
+                            resolve_oversampling_factor)
+from ..models.convolver import StereoConvolverState, stereo_prepare
+from ..models.dither import apply_dither
+from ..models.eq import EQParams
+from ..models.gain_planner import (AutoGainPlan, PlannerInput,
+                                   CONVOLVER_THEN_EQ, EQ_THEN_CONVOLVER, plan)
+from ..models.nuc import FilterSpec
+from ..utils.dsputil import next_pow2
+from ..utils.wavio import read_wav
+from .cache import LRUCache, MixedPhaseDiskCache, content_hash
+from .eq_analysis import estimate_max_gain_db, max_active_q
+
+# PhaseMode (src/ConvolverProcessor.h:117)
+PHASE_AS_IS, PHASE_MINIMUM, PHASE_MIXED = 0, 1, 2
+
+IR_LENGTH_DEFAULT_SEC = 1.0        # ConvolverProcessor.h:172
+MIXED_F1_DEFAULT_HZ = 200.0        # :175
+MIXED_F2_DEFAULT_HZ = 1000.0       # :178
+ENERGY_SCALE_MARGIN = 0.5011872336272722   # -6 dB (IRConverter.cpp:36)
+
+
+@dataclass
+class LatencyBreakdown:
+    """ConvolverProcessor.h:421-437 + the engine's OS/softclip model
+    (AudioEngine.Processing.Latency.cpp:22-124)."""
+    algorithm_latency_samples: int = 0
+    ir_peak_latency_samples: int = 0
+    oversampling_latency_samples: int = 0
+    softclip_latency_samples: int = 0
+
+    @property
+    def total_latency_samples(self) -> int:
+        return (self.algorithm_latency_samples + self.ir_peak_latency_samples
+                + self.oversampling_latency_samples
+                + self.softclip_latency_samples)
+
+
+def estimate_peak_latency(ir: np.ndarray) -> int:
+    """Energy-centroid peak latency (LoaderThread.cpp:149-205): centroid of
+    the energy up to the 99.9% cumulative cutoff, max over channels."""
+    ir = np.atleast_2d(np.asarray(ir, np.float64))
+    n = ir.shape[-1]
+    if n <= 0:
+        return 0
+    max_centroid = 0.0
+    for ch in range(ir.shape[0]):
+        e = ir[ch] * ir[ch]
+        total = e.sum()
+        if total < 1e-12:
+            continue
+        csum = np.cumsum(e)
+        cutoff = int(np.searchsorted(csum, total * 0.999))
+        cutoff = min(cutoff, n - 1)
+        se = e[:cutoff + 1].sum()
+        sw = (np.arange(cutoff + 1) * e[:cutoff + 1]).sum()
+        centroid = sw / se if se > 0.0 else 0.0
+        max_centroid = max(max_centroid, centroid)
+    return int(np.clip(np.floor(max_centroid + 0.5), 0, n - 1))
+
+
+def energy_scale(ir: np.ndarray) -> float:
+    """computeEnergyScale (IRConverter.cpp:17-38)."""
+    ir = np.atleast_2d(np.asarray(ir, np.float64))
+    max_energy = 0.0
+    for ch in range(ir.shape[0]):
+        e = float(np.dot(ir[ch], ir[ch]))
+        if np.isfinite(e) and e > 1e-18:
+            max_energy = max(max_energy, e)
+    if not (max_energy > 1e-18) or not np.isfinite(max_energy):
+        return 1.0
+    return (1.0 / np.sqrt(max_energy)) * ENERGY_SCALE_MARGIN
+
+
+def trim_ir(ir: np.ndarray, sample_rate: float, target_length: int):
+    """Trim stage (LoaderThread.cpp:619-641): cut/zero-pad to target length
+    with a 2% raised fade-out (min 256 samples, max 80 ms)."""
+    ir = np.atleast_2d(np.asarray(ir, np.float64))
+    n = ir.shape[-1]
+    out = np.zeros(ir.shape[:-1] + (target_length,))
+    copy = min(target_length, n)
+    out[..., :copy] = ir[..., :copy]
+    min_fade = 256
+    max_fade = max(min_fade, int(round(sample_rate * 0.080)))
+    fade = int(round(copy * 0.02))
+    fade = int(np.clip(fade, min_fade, max_fade))
+    fade = max(0, min(fade, copy - 1))
+    if fade > 0:
+        ramp = 1.0 - np.arange(fade) / fade   # juce applyGainRamp 1.0 -> 0.0
+        out[..., copy - fade:copy] *= ramp
+    return out
+
+
+@dataclass
+class EngineState:
+    """Serializable full engine configuration (the preset-XML analog,
+    AudioEngine.StateIO.cpp)."""
+    chain: dict = field(default_factory=dict)
+    eq: dict = field(default_factory=dict)
+    ir: dict = field(default_factory=dict)
+    auto_gain_enabled: bool = False
+    dither_type: int = 0
+    dither_bit_depth: int = 0
+
+
+class ConvoPeqEngine:
+    """Offline/batched ConvoPeq-equivalent processor for TPU execution."""
+
+    def __init__(self, sample_rate: float = 48000.0, block_size: int = 512,
+                 dtype=None, mixed_phase_cache_dir=None):
+        import jax.numpy as jnp
+        self.sample_rate = float(sample_rate)
+        self.block_size = int(block_size)
+        self.dtype = dtype if dtype is not None else (
+            jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32)
+        self.eq_params = EQParams()
+        self.config = ChainConfig(sample_rate=self.sample_rate)
+        self.auto_gain_enabled = False
+        self.dither_type = 0
+        self.dither_bit_depth = 0          # 0 = no quantization
+        self.phase_mode = PHASE_AS_IS
+        self.target_ir_seconds = IR_LENGTH_DEFAULT_SEC
+        self.mixed_f1 = MIXED_F1_DEFAULT_HZ
+        self.mixed_f2 = MIXED_F2_DEFAULT_HZ
+        self.filter_spec = FilterSpec(sample_rate=self.sample_rate)
+        self.enable_direct_head = False
+        self.apply_spectrum_filter = True
+
+        self._conv_state: StereoConvolverState | None = None
+        self._ir_raw: np.ndarray | None = None
+        self._ir_prepared: np.ndarray | None = None
+        self._ir_peak_latency = 0
+        self._ir_freq_peak_db = 0.0
+        self._ir_scale = 1.0
+        self._prepared_cache = LRUCache()
+        self._chain_cache = LRUCache(max_entries=8)
+        self._mp_cache = MixedPhaseDiskCache(mixed_phase_cache_dir)
+
+    # ------------------------------------------------------------------ IR
+    def load_impulse_response(self, ir, ir_sample_rate=None,
+                              phase_mode=None, target_seconds=None):
+        """Full loader pipeline.  ir: path or (C, N)/(N,) array."""
+        import jax.numpy as jnp
+        if isinstance(ir, (str, bytes)) or hasattr(ir, "__fspath__"):
+            wav = read_wav(ir)
+            ir = wav.samples
+            ir_sample_rate = float(wav.sample_rate)
+        ir = np.atleast_2d(np.asarray(ir, np.float64))
+        if ir_sample_rate is None:
+            ir_sample_rate = self.sample_rate
+        if phase_mode is not None:
+            self.phase_mode = phase_mode
+        if target_seconds is not None:
+            self.target_ir_seconds = float(target_seconds)
+
+        key = content_hash(ir, ir_sample_rate, self.sample_rate,
+                           self.phase_mode, self.target_ir_seconds,
+                           self.mixed_f1, self.mixed_f2, self.block_size,
+                           self.filter_spec, self.enable_direct_head,
+                           self.apply_spectrum_filter)
+        cached = self._prepared_cache.get(key)
+        if cached is not None:
+            (self._conv_state, self._ir_prepared, self._ir_peak_latency,
+             self._ir_freq_peak_db, self._ir_scale) = cached
+            self._ir_raw = ir
+            return self
+
+        # Transform: resample
+        if ir_sample_rate != self.sample_rate:
+            ir = resample_ir(ir, ir_sample_rate, self.sample_rate)
+
+        # Trim
+        target_len = int(round(self.target_ir_seconds * self.sample_rate))
+        trimmed = trim_ir(ir, self.sample_rate, target_len)
+
+        # Phase transform
+        if self.phase_mode == PHASE_MINIMUM:
+            trimmed = minimum_phase(trimmed)
+        elif self.phase_mode == PHASE_MIXED:
+            mp_key = self._mp_cache.make_key(trimmed, self.sample_rate,
+                                             "mixed", self.mixed_f1,
+                                             self.mixed_f2)
+            cached_mp = self._mp_cache.load(mp_key)
+            if cached_mp is not None and cached_mp.shape == trimmed.shape:
+                trimmed = cached_mp
+            else:
+                minp = minimum_phase(trimmed)
+                chans = []
+                for ch in range(trimmed.shape[0]):
+                    m = mixed_phase_allpass(trimmed[ch], minp[ch],
+                                            self.sample_rate, self.mixed_f1,
+                                            self.mixed_f2, num_sections=8,
+                                            freq_points=64, generations=24,
+                                            population=16)
+                    if m is None:
+                        m = mixed_phase_fallback(trimmed[ch], minp[ch],
+                                                 self.sample_rate,
+                                                 self.mixed_f1, self.mixed_f2)
+                    chans.append(m)
+                trimmed = np.stack(chans)
+                self._mp_cache.store(mp_key, trimmed)
+
+        # Analysis + energy scale
+        scale = energy_scale(trimmed)
+        self._ir_peak_latency = estimate_peak_latency(trimmed)
+        self._ir_freq_peak_db = ir_peak_gain_db(trimmed * scale)
+        self._ir_scale = scale
+
+        # Build (SetImpulse per channel)
+        self._conv_state = stereo_prepare(
+            jnp.asarray(trimmed, self.dtype), self.block_size,
+            self.filter_spec, scale=scale,
+            enable_direct_head=self.enable_direct_head,
+            apply_spectrum_filter=self.apply_spectrum_filter)
+        self._ir_prepared = trimmed * scale
+        self._ir_raw = ir
+        self._prepared_cache.put(key, (self._conv_state, self._ir_prepared,
+                                       self._ir_peak_latency,
+                                       self._ir_freq_peak_db, self._ir_scale))
+        return self
+
+    # ------------------------------------------------------------- config
+    def set_eq_band(self, i, **kw):
+        self.eq_params.set_band(i, **kw)
+        return self
+
+    def set_eq(self, params: EQParams):
+        self.eq_params = params
+        return self
+
+    def set_processing_order(self, order: int):
+        self.config = replace(self.config, order=order)
+        return self
+
+    def set_oversampling(self, factor: int, preset: int | None = None):
+        kw = {"oversampling_factor": factor}
+        if preset is not None:
+            kw["oversampling_preset"] = preset
+        self.config = replace(self.config, **kw)
+        return self
+
+    def set_soft_clip(self, enabled: bool, saturation: float | None = None):
+        kw = {"soft_clip_enabled": enabled}
+        if saturation is not None:
+            kw["saturation_amount"] = float(saturation)
+        self.config = replace(self.config, **kw)
+        return self
+
+    def set_wet_dry_mix(self, mix: float):
+        self.config = replace(self.config, wet_dry_mix=float(mix))
+        return self
+
+    def set_bypass(self, eq: bool | None = None, conv: bool | None = None):
+        kw = {}
+        if eq is not None:
+            kw["eq_bypassed"] = eq
+        if conv is not None:
+            kw["conv_bypassed"] = conv
+        self.config = replace(self.config, **kw)
+        return self
+
+    def set_auto_gain(self, enabled: bool):
+        self.auto_gain_enabled = bool(enabled)
+        return self
+
+    def set_dither(self, shaper_type: int, bit_depth: int):
+        self.dither_type = int(shaper_type)
+        self.dither_bit_depth = int(bit_depth)
+        return self
+
+    # ------------------------------------------------------------ derived
+    def auto_gain_plan(self) -> AutoGainPlan:
+        """AutoGainPlanner evaluation from current EQ/IR analysis."""
+        os_factor = resolve_oversampling_factor(
+            self.config.oversampling_factor, self.sample_rate)
+        proc_rate = self.sample_rate * os_factor
+        inp = PlannerInput(
+            eq_max_gain_db=estimate_max_gain_db(self.eq_params, proc_rate),
+            eq_max_q=max_active_q(self.eq_params),
+            ir_freq_peak_gain_db=self._ir_freq_peak_db,
+        )
+        return plan(self.auto_gain_enabled, self.config.order,
+                    self.config.eq_bypassed,
+                    self.config.conv_bypassed or self._conv_state is None, inp)
+
+    def latency_breakdown(self) -> LatencyBreakdown:
+        """AudioEngine.Processing.Latency.cpp model: OS FIR group delay per
+        stage referred to base rate, NUC algorithm latency, IR peak
+        latency, soft-clip local 2x OS (15 base samples)."""
+        from ..ops.oversample import make_stages
+        lb = LatencyBreakdown()
+        os_factor = resolve_oversampling_factor(
+            self.config.oversampling_factor, self.sample_rate)
+        if os_factor > 1:
+            total = 0.0
+            for i, st in enumerate(make_stages(os_factor,
+                                               self.config.oversampling_preset)):
+                # up + down share the same stage: (taps-1) total at the
+                # stage rate = (taps-1)/2^(i+1) ... the engine counts
+                # (taps-1)/2 per stage at base rate (Latency.cpp:22-23)
+                total += st.center_tap / (2 ** i)
+            lb.oversampling_latency_samples = int(round(total))
+        if self._conv_state is not None and not self.config.conv_bypassed:
+            lb.algorithm_latency_samples = next_pow2(max(self.block_size, 64))
+            lb.ir_peak_latency_samples = self._ir_peak_latency
+        if self.config.soft_clip_enabled and os_factor == 1:
+            lb.softclip_latency_samples = 15   # Latency.cpp:104-107
+        return lb
+
+    # ------------------------------------------------------------ process
+    def _chain_key(self):
+        return (self.eq_params.config_key(),
+                repr(self.config), self.auto_gain_enabled,
+                self.dither_type, self.dither_bit_depth,
+                id(self._conv_state))
+
+    def _effective_config(self) -> ChainConfig:
+        cfg = self.config
+        if self.auto_gain_enabled:
+            g_in, g_mk, g_trim = self.auto_gain_plan().linear()
+            cfg = replace(cfg, input_headroom_gain=g_in,
+                          output_makeup_gain=g_mk,
+                          convolver_input_trim_gain=g_trim)
+        if self.dither_bit_depth > 0:
+            # headroom is applied inside the dither quantizer
+            cfg = replace(cfg, apply_output_headroom=False)
+        return cfg
+
+    def process(self, x, key=None):
+        """Process (..., 2, N) float audio through the full chain."""
+        import jax
+        import jax.numpy as jnp
+        x = jnp.asarray(x, self.dtype)
+        cfg = self._effective_config()
+        cache_key = self._chain_key()
+        fn = self._chain_cache.get(cache_key)
+        if fn is None:
+            eqp = self.eq_params
+            conv_none = self._conv_state is None
+            if conv_none:
+                fn = jax.jit(lambda v: process_chain(v, cfg, eqp, None))
+            else:
+                fn = jax.jit(lambda v, c: process_chain(v, cfg, eqp, c))
+            self._chain_cache.put(cache_key, fn)
+        y = fn(x) if self._conv_state is None else fn(x, self._conv_state)
+        if self.dither_bit_depth > 0:
+            y = apply_dither(y, self.dither_type, self.sample_rate,
+                             self.dither_bit_depth, key=key)
+        return y
+
+    # ------------------------------------------------------------ state IO
+    def save_state(self) -> str:
+        """Serialize the full configuration to JSON (preset analog)."""
+        st = EngineState(
+            chain={k: v for k, v in asdict(self.config).items()},
+            eq={
+                "band_types": self.eq_params.band_types.tolist(),
+                "freqs": self.eq_params.freqs.tolist(),
+                "gains_db": self.eq_params.gains_db.tolist(),
+                "qs": self.eq_params.qs.tolist(),
+                "modes": self.eq_params.modes.tolist(),
+                "enabled": self.eq_params.enabled.tolist(),
+                "structure": self.eq_params.structure,
+                "saturation": self.eq_params.saturation,
+                "agc_enabled": self.eq_params.agc_enabled,
+            },
+            ir={
+                "phase_mode": self.phase_mode,
+                "target_seconds": self.target_ir_seconds,
+                "mixed_f1": self.mixed_f1,
+                "mixed_f2": self.mixed_f2,
+                "tail_mode": self.filter_spec.tail_mode,
+                "tail_enabled": self.filter_spec.tail_enabled,
+                "tail_start_seconds": self.filter_spec.tail_start_seconds,
+                "tail_strength": self.filter_spec.tail_strength,
+                "tail_l1l2_multiplier": self.filter_spec.tail_l1l2_multiplier,
+                "hc_mode": self.filter_spec.hc_mode,
+                "lc_mode": self.filter_spec.lc_mode,
+                "enable_direct_head": self.enable_direct_head,
+            },
+            auto_gain_enabled=self.auto_gain_enabled,
+            dither_type=self.dither_type,
+            dither_bit_depth=self.dither_bit_depth,
+        )
+        return json.dumps(asdict(st), indent=2)
+
+    def load_state(self, text: str):
+        """Staged state restore (AudioEngine.StateIO.cpp load order)."""
+        st = json.loads(text)
+        self.config = ChainConfig(**st["chain"])
+        eq = st["eq"]
+        self.eq_params = EQParams(
+            band_types=np.asarray(eq["band_types"], np.int32),
+            freqs=np.asarray(eq["freqs"], np.float64),
+            gains_db=np.asarray(eq["gains_db"], np.float64),
+            qs=np.asarray(eq["qs"], np.float64),
+            modes=np.asarray(eq["modes"], np.int32),
+            enabled=np.asarray(eq["enabled"], bool),
+            structure=eq["structure"], saturation=eq["saturation"],
+            agc_enabled=eq["agc_enabled"])
+        iri = st["ir"]
+        self.phase_mode = iri["phase_mode"]
+        self.target_ir_seconds = iri["target_seconds"]
+        self.mixed_f1 = iri["mixed_f1"]
+        self.mixed_f2 = iri["mixed_f2"]
+        self.filter_spec = FilterSpec(
+            sample_rate=self.sample_rate, hc_mode=iri["hc_mode"],
+            lc_mode=iri["lc_mode"], tail_mode=iri["tail_mode"],
+            tail_enabled=iri["tail_enabled"],
+            tail_start_seconds=iri["tail_start_seconds"],
+            tail_strength=iri["tail_strength"],
+            tail_l1l2_multiplier=iri["tail_l1l2_multiplier"])
+        self.enable_direct_head = iri["enable_direct_head"]
+        self.auto_gain_enabled = st["auto_gain_enabled"]
+        self.dither_type = st["dither_type"]
+        self.dither_bit_depth = st["dither_bit_depth"]
+        return self

@@ -1,0 +1,179 @@
+"""ConvoPeqEngine facade: load pipeline, config, state IO, processing."""
+import numpy as np
+import jax.numpy as jnp
+
+from convopeq_tpu.engine import ConvoPeqEngine
+from convopeq_tpu.engine.engine import (
+    estimate_peak_latency, energy_scale, trim_ir,
+    PHASE_MINIMUM, PHASE_AS_IS)
+from convopeq_tpu.engine.eq_analysis import (
+    estimate_max_gain_db, max_active_q, eq_response, svf_to_biquad)
+from convopeq_tpu.models.eq import EQParams
+from convopeq_tpu.models.gain_planner import EQ_THEN_CONVOLVER, CONVOLVER_THEN_EQ
+from convopeq_tpu.ops.svf import svf_coeffs
+
+RNG = np.random.default_rng(33)
+SR = 48000.0
+
+
+def _ir(n=4000):
+    t = np.arange(n)
+    ir = RNG.normal(size=(2, n)) * np.exp(-t / 600.0)
+    ir[:, 0] = 1.0
+    return ir
+
+
+def test_eq_response_matches_filter_gain():
+    p = EQParams()
+    p.enabled[:] = False
+    p.set_band(0, band_type=1, freq=1000.0, gain_db=12.0, q=2.0, enabled=True)
+    h = eq_response(p, SR, np.array([1000.0]))
+    assert abs(20 * np.log10(abs(h[0])) - 12.0) < 0.05
+    g = estimate_max_gain_db(p, SR)
+    assert abs(g - 12.0) < 0.1
+    assert max_active_q(p) == 2.0
+    # cut-only EQ has max gain ~0
+    p2 = EQParams()
+    p2.enabled[:] = False
+    p2.set_band(0, band_type=1, freq=500.0, gain_db=-9.0, q=1.0, enabled=True)
+    assert estimate_max_gain_db(p2, SR) < 0.2
+    assert max_active_q(p2) == 0.0
+
+
+def test_svf_to_biquad_response_consistency():
+    c = svf_coeffs(1, 2000.0, 8.0, 1.5, SR)
+    bq = svf_to_biquad(*(float(v) for v in c))
+    from convopeq_tpu.engine.eq_analysis import biquad_response
+    h = biquad_response(bq, np.array([2000.0]), SR)
+    assert abs(20 * np.log10(abs(h[0])) - 8.0) < 0.05
+
+
+def test_peak_latency_centroid():
+    ir = np.zeros(1000)
+    ir[200] = 1.0
+    assert estimate_peak_latency(ir) == 200
+    assert estimate_peak_latency(np.zeros(100)) == 0
+
+
+def test_energy_scale_minus6db():
+    ir = np.zeros((1, 100))
+    ir[0, 0] = 2.0       # energy 4 -> 1/2 * 0.5012
+    s = energy_scale(ir)
+    assert abs(s - 0.5 * 0.5011872336272722) < 1e-12
+
+
+def test_trim_fade():
+    ir = np.ones((1, 48000))
+    out = trim_ir(ir, SR, 10000)
+    assert out.shape == (1, 10000)
+    assert out[0, 0] == 1.0
+    assert out[0, -1] < 0.01    # faded to ~0
+    # zero-pad case
+    out2 = trim_ir(np.ones((1, 100)), SR, 500)
+    assert out2.shape == (1, 500)
+    assert np.all(out2[0, 100:] == 0.0)
+
+
+def test_engine_end_to_end():
+    eng = ConvoPeqEngine(SR, 512)
+    eng.load_impulse_response(_ir(), SR)
+    eng.set_eq_band(0, band_type=1, freq=1000.0, gain_db=6.0, q=1.0)
+    eng.set_soft_clip(True, 0.3)
+    eng.set_auto_gain(True)
+    n = 8192
+    x = RNG.normal(size=(1, 2, n)) * 0.2
+    y = np.asarray(eng.process(jnp.asarray(x)))
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(y))
+    assert np.abs(y).max() > 1e-4
+
+    # auto gain plan reacts to the EQ boost
+    plan = eng.auto_gain_plan()
+    assert plan.input_headroom_db < 0.0
+    assert plan.output_makeup_db > 0.0
+
+    lb = eng.latency_breakdown()
+    assert lb.algorithm_latency_samples == 512
+    assert lb.ir_peak_latency_samples >= 0
+    assert lb.softclip_latency_samples == 15
+    assert lb.total_latency_samples >= 512
+
+
+def test_engine_prepared_ir_cache():
+    eng = ConvoPeqEngine(SR, 512)
+    ir = _ir(2000)
+    eng.load_impulse_response(ir, SR)
+    first = eng._conv_state
+    eng.load_impulse_response(ir, SR)   # identical -> cache hit
+    assert eng._conv_state is first
+
+
+def test_engine_min_phase_load():
+    eng = ConvoPeqEngine(SR, 512)
+    ir = np.zeros((2, 2000))
+    ir[:, 300] = 1.0
+    eng.load_impulse_response(ir, SR, phase_mode=PHASE_MINIMUM,
+                              target_seconds=2000 / SR)
+    # min phase moves the IR peak to the front
+    assert eng._ir_peak_latency < 50
+
+
+def test_engine_state_roundtrip():
+    eng = ConvoPeqEngine(SR, 512)
+    eng.set_eq_band(3, band_type=2, freq=8000.0, gain_db=-4.0, q=0.9)
+    eng.set_processing_order(CONVOLVER_THEN_EQ)
+    eng.set_oversampling(4)
+    eng.set_soft_clip(True, 0.7)
+    eng.set_wet_dry_mix(0.8)
+    eng.set_dither(2, 24)
+    eng.set_auto_gain(True)
+    blob = eng.save_state()
+
+    eng2 = ConvoPeqEngine(SR, 512).load_state(blob)
+    assert eng2.config.order == CONVOLVER_THEN_EQ
+    assert eng2.config.oversampling_factor == 4
+    assert eng2.config.soft_clip_enabled
+    assert eng2.config.saturation_amount == 0.7
+    assert eng2.config.wet_dry_mix == 0.8
+    assert eng2.dither_type == 2 and eng2.dither_bit_depth == 24
+    assert eng2.auto_gain_enabled
+    np.testing.assert_array_equal(eng2.eq_params.gains_db,
+                                  eng.eq_params.gains_db)
+    assert eng2.save_state() == blob
+
+
+def test_engine_dither_output_on_grid():
+    eng = ConvoPeqEngine(SR, 512)
+    eng.set_bypass(eq=True, conv=True)
+    eng.set_dither(1, 16)
+    x = RNG.normal(size=(2, 2048)) * 0.2
+    import jax
+    y = np.asarray(eng.process(jnp.asarray(x), key=jax.random.PRNGKey(7)))
+    grid = y * 32768.0
+    np.testing.assert_allclose(grid, np.round(grid), atol=1e-9)
+
+
+def test_sharded_chain_on_cpu_mesh():
+    import jax
+    from convopeq_tpu.parallel.sharding import (
+        make_stream_mesh, shard_streams, sharded_chain)
+    from convopeq_tpu.models.chain import ChainConfig, process_chain
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.nuc import FilterSpec
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"conftest should provide 8 cpu devices, got {n_dev}"
+    mesh = make_stream_mesh()
+    ir = _ir(1500)[0]
+    conv = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=SR))
+    cfg = ChainConfig(sample_rate=SR)
+    eqp = EQParams()
+    fn = sharded_chain(lambda x, c: process_chain(x, cfg, eqp, c), mesh)
+    x = RNG.normal(size=(16, 2, 2048)) * 0.2
+    import jax as _j
+    conv_r = _j.device_put(conv, __import__(
+        "convopeq_tpu.parallel.sharding", fromlist=["replicated"]).replicated(mesh))
+    xs = shard_streams(jnp.asarray(x), mesh)
+    y = fn(xs, conv_r)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
