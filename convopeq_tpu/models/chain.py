@@ -84,6 +84,7 @@ class ChainConfig:
     eq_lpf_mode: int = HC_NATURAL
     apply_output_headroom: bool = True  # x kOutputHeadroom when no dither
     agc_block_size: int = 512
+    eq_method: str = "auto"   # "scan" | "fft" | "auto" (see models/eq.py)
 
 
 def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
@@ -113,7 +114,8 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
 
     def run_eq(sig):
         pre = sig
-        out = eq_process_bands(sig, eq_params, proc_rate)
+        out = eq_process_bands(sig, eq_params, proc_rate,
+                               method=cfg.eq_method)
         if eq_params.agc_enabled:
             out = agc_apply(pre, out, proc_rate,
                             cfg.agc_block_size * os_factor)

@@ -145,8 +145,127 @@ def _band_apply(L, R, coeffs_b, mode: int, saturation: float):
     raise ValueError(f"bad channel mode {mode}")
 
 
-def eq_process_bands(x, params: EQParams, sample_rate):
-    """Run the 20 band filters (no AGC). x: (..., 2, N) stereo, time last."""
+def _band_matrix_response(params: EQParams, sample_rate, freqs):
+    """2x2 complex MIMO response of the active bands at `freqs` (host f64).
+
+    Every channel mode is a 2x2 LTI map on (L, R):
+      Stereo: diag(H, H); Left: diag(H, 1); Right: diag(1, H);
+      Mid:  [[(H+1)/2, (H-1)/2], [(H-1)/2, (H+1)/2]]
+      Side: [[(H+1)/2, (1-H)/2], [(1-H)/2, (H+1)/2]]
+    Serial structure = ordered matrix product; Parallel = I + sum(T_b - I).
+    Returns (h11, h12, h21, h22) complex128 arrays.
+    """
+    from ..engine.eq_analysis import svf_to_biquad, biquad_response
+    active = band_active_mask(params)
+    coeffs = svf_coeffs(params.band_types, params.freqs, params.gains_db,
+                        params.qs, sample_rate)
+    nf = len(freqs)
+    eye = (np.ones(nf, complex), np.zeros(nf, complex),
+           np.zeros(nf, complex), np.ones(nf, complex))
+
+    def band_T(b):
+        bq = svf_to_biquad(*(float(c[b]) for c in coeffs))
+        H = biquad_response(bq, freqs, sample_rate)
+        mode = int(params.modes[b])
+        one = np.ones(nf, complex)
+        if mode == STEREO:
+            return (H, 0 * H, 0 * H, H)
+        if mode == LEFT:
+            return (H, 0 * H, 0 * H, one)
+        if mode == RIGHT:
+            return (one, 0 * H, 0 * H, H)
+        if mode == MID:
+            return ((H + 1) / 2, (H - 1) / 2, (H - 1) / 2, (H + 1) / 2)
+        return ((H + 1) / 2, (1 - H) / 2, (1 - H) / 2, (H + 1) / 2)  # SIDE
+
+    def mat_mul(a, b):
+        a11, a12, a21, a22 = a
+        b11, b12, b21, b22 = b
+        return (a11 * b11 + a12 * b21, a11 * b12 + a12 * b22,
+                a21 * b11 + a22 * b21, a21 * b12 + a22 * b22)
+
+    if params.structure == SERIAL:
+        T = eye
+        for b in range(NUM_BANDS):
+            if active[b]:
+                T = mat_mul(band_T(b), T)   # band applied after T
+        return T
+    acc = [np.zeros(nf, complex) for _ in range(4)]
+    for b in range(NUM_BANDS):
+        if not active[b]:
+            continue
+        Tb = band_T(b)
+        for i in range(4):
+            acc[i] = acc[i] + (Tb[i] - eye[i])
+    return tuple(eye[i] + acc[i] for i in range(4))
+
+
+def _eq_ring_tail_samples(params: EQParams, sample_rate, eps=1e-10):
+    """Padding needed so truncated IIR ringing is below eps: from the max
+    pole radius of the active bands (host-side, static)."""
+    from ..ops.svf import svf_transition
+    active = band_active_mask(params)
+    coeffs = svf_coeffs(params.band_types, params.freqs, params.gains_db,
+                        params.qs, sample_rate)
+    max_r = 0.0
+    for b in range(NUM_BANDS):
+        if not active[b]:
+            continue
+        A = np.array([[2 * coeffs[0][b] - 1.0, -2 * coeffs[1][b]],
+                      [2 * coeffs[1][b], 1.0 - 2 * coeffs[2][b]]])
+        r = float(np.max(np.abs(np.linalg.eigvals(A))))
+        max_r = max(max_r, min(r, 1.0 - 1e-12))
+    if max_r <= 0.0:
+        return 0
+    return int(np.ceil(np.log(eps) / np.log(max_r)))
+
+
+def eq_process_bands_fft(x, params: EQParams, sample_rate, eps=1e-10):
+    """Frequency-domain EQ: one FFT convolution with the combined 2x2 band
+    response — the TPU fast path (saturation must be 0; the +-100 output
+    clamp is not applied, it only matters for >100 FS signals).
+
+    Exactness: equals the scan path up to the truncated ringing tail
+    (bounded by `eps`) and fp rounding.  Zero-padding is sized from the
+    active bands' pole radii, so high-Q bands automatically get longer
+    tails.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    from ..utils.dsputil import next_pow2
+    pad = _eq_ring_tail_samples(params, sample_rate, eps)
+    m = next_pow2(n + pad)
+    csize = m // 2 + 1
+    freqs = np.arange(csize) * (sample_rate / m)
+    h11, h12, h21, h22 = _band_matrix_response(params, sample_rate, freqs)
+    cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    h11 = jnp.asarray(h11, cdt)
+    h12 = jnp.asarray(h12, cdt)
+    h21 = jnp.asarray(h21, cdt)
+    h22 = jnp.asarray(h22, cdt)
+
+    X = jnp.fft.rfft(x, n=m, axis=-1)
+    XL = X[..., 0, :]
+    XR = X[..., 1, :]
+    YL = h11 * XL + h12 * XR
+    YR = h21 * XL + h22 * XR
+    y = jnp.fft.irfft(jnp.stack([YL, YR], axis=-2), n=m, axis=-1)[..., :n]
+    return y.astype(x.dtype)
+
+
+def eq_process_bands(x, params: EQParams, sample_rate, method: str = "auto"):
+    """Run the 20 band filters (no AGC). x: (..., 2, N) stereo, time last.
+
+    method: "scan" (associative-scan cascade, exact reference semantics),
+    "fft" (combined-response FFT convolution, linear-path fast mode), or
+    "auto" (fft when saturation == 0, scan otherwise).
+    """
+    if method == "auto":
+        method = "scan" if float(params.saturation) > 0.0 else "fft"
+    if method == "fft":
+        if float(params.saturation) > 0.0:
+            raise ValueError("fft EQ path requires saturation == 0")
+        return eq_process_bands_fft(x, params, sample_rate)
     x = jnp.asarray(x)
     L = x[..., 0, :]
     R = x[..., 1, :]
@@ -243,14 +362,15 @@ def agc_apply(x_pre, x_post, sample_rate, block_size):
     return x_post * gains
 
 
-def eq_process(x, params: EQParams, sample_rate, block_size=512):
+def eq_process(x, params: EQParams, sample_rate, block_size=512,
+               method: str = "scan"):
     """Full EQ: bands + optional AGC.  x: (..., 2, N), time on last axis.
 
     With AGC disabled the result is block-size-invariant (linear state
     threading); with AGC enabled `block_size` reproduces the reference's
     callback-block-rate envelope updates.
     """
-    y = eq_process_bands(x, params, sample_rate)
+    y = eq_process_bands(x, params, sample_rate, method=method)
     if params.agc_enabled:
         y = agc_apply(x, y, sample_rate, block_size)
     return y

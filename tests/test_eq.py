@@ -1,5 +1,6 @@
 """20-band EQ model vs per-sample golden model."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from convopeq_tpu.models.eq import (
@@ -107,3 +108,56 @@ def test_eq_with_agc_end_to_end():
     refL, refR = eq_serial_golden(x[0], x[1], bands, SR)
     ref = agc_golden(x, np.stack([refL, refR]), SR, bs)
     np.testing.assert_allclose(got, ref, atol=1e-11)
+
+
+def test_eq_fft_path_matches_scan():
+    """The frequency-domain fast path equals the scan path within the
+    padded ringing-tail bound (f64)."""
+    from convopeq_tpu.models.eq import eq_process_bands
+    x = _stereo_sig(16384)
+    params = _mk_params(BANDS_MIXED, structure=SERIAL)
+    y_scan = np.asarray(eq_process_bands(jnp.asarray(x), params, SR,
+                                         method="scan"))
+    y_fft = np.asarray(eq_process_bands(jnp.asarray(x), params, SR,
+                                        method="fft"))
+    err = np.sqrt(np.mean((y_scan - y_fft) ** 2)) / np.sqrt(np.mean(y_scan ** 2))
+    assert err < 1e-8, err
+
+
+def test_eq_fft_path_parallel_structure():
+    from convopeq_tpu.models.eq import eq_process_bands
+    x = _stereo_sig(8192)
+    params = _mk_params(BANDS_MIXED, structure=PARALLEL)
+    y_scan = np.asarray(eq_process_bands(jnp.asarray(x), params, SR,
+                                         method="scan"))
+    y_fft = np.asarray(eq_process_bands(jnp.asarray(x), params, SR,
+                                        method="fft"))
+    err = np.sqrt(np.mean((y_scan - y_fft) ** 2)) / np.sqrt(np.mean(y_scan ** 2))
+    assert err < 1e-8, err
+
+
+def test_eq_fft_path_high_q_padding():
+    """High-Q low-frequency band: padding must grow to keep the bound."""
+    from convopeq_tpu.models.eq import eq_process_bands, _eq_ring_tail_samples
+    bands = [{"type": 1, "freq": 40.0, "gain_db": 10.0, "q": 20.0, "mode": 0}]
+    params = _mk_params(bands)
+    pad = _eq_ring_tail_samples(params, SR)
+    assert pad > 100000   # tau = Q*sr/(pi*f) ~ 7.6k samples, eps 1e-10
+    x = _stereo_sig(4096)
+    y_scan = np.asarray(eq_process_bands(jnp.asarray(x), params, SR,
+                                         method="scan"))
+    y_fft = np.asarray(eq_process_bands(jnp.asarray(x), params, SR,
+                                        method="fft"))
+    err = np.sqrt(np.mean((y_scan - y_fft) ** 2)) / np.sqrt(np.mean(y_scan ** 2))
+    assert err < 1e-8, err
+
+
+def test_eq_fft_rejects_saturation():
+    from convopeq_tpu.models.eq import eq_process_bands
+    params = _mk_params(BANDS_MIXED[:2], saturation=0.5)
+    x = _stereo_sig(1024)
+    with pytest.raises(ValueError):
+        eq_process_bands(jnp.asarray(x), params, SR, method="fft")
+    # auto falls back to scan silently
+    y = np.asarray(eq_process_bands(jnp.asarray(x), params, SR, method="auto"))
+    assert np.all(np.isfinite(y))
