@@ -200,6 +200,64 @@ def _band_matrix_response(params: EQParams, sample_rate, freqs):
     return tuple(eye[i] + acc[i] for i in range(4))
 
 
+def _band_matrix_response_device(params: EQParams, sample_rate, m, csize,
+                                 cdt):
+    """On-device evaluation of the 2x2 band-response matrix: biquad
+    coefficients are host f64; only the per-bin polynomial evaluation and
+    the 20-band matrix product run on device."""
+    from ..engine.eq_analysis import svf_to_biquad
+    active = band_active_mask(params)
+    coeffs = svf_coeffs(params.band_types, params.freqs, params.gains_db,
+                        params.qs, sample_rate)
+    w = 2.0 * np.pi * np.arange(csize) / m          # host f64 angles
+    z = jnp.asarray(np.exp(1j * w), cdt)
+    z2 = z * z
+    one = jnp.ones((csize,), cdt)
+    zero = jnp.zeros((csize,), cdt)
+
+    def band_H(b):
+        b0, b1, b2, a0, a1, a2 = svf_to_biquad(
+            *(float(c[b]) for c in coeffs))
+        num = b0 * z2 + b1 * z + b2
+        den = a0 * z2 + a1 * z + a2
+        return num / den
+
+    def band_T(b):
+        H = band_H(b)
+        mode = int(params.modes[b])
+        if mode == STEREO:
+            return (H, zero, zero, H)
+        if mode == LEFT:
+            return (H, zero, zero, one)
+        if mode == RIGHT:
+            return (one, zero, zero, H)
+        hp = (H + 1.0) * 0.5
+        hm = (H - 1.0) * 0.5
+        if mode == MID:
+            return (hp, hm, hm, hp)
+        return (hp, -hm, -hm, hp)   # SIDE
+
+    T = (one, zero, zero, one)
+    if params.structure == SERIAL:
+        for b in range(NUM_BANDS):
+            if not active[b]:
+                continue
+            Tb = band_T(b)
+            T = (Tb[0] * T[0] + Tb[1] * T[2], Tb[0] * T[1] + Tb[1] * T[3],
+                 Tb[2] * T[0] + Tb[3] * T[2], Tb[2] * T[1] + Tb[3] * T[3])
+    else:
+        acc = [zero, zero, zero, zero]
+        eye = (one, zero, zero, one)
+        for b in range(NUM_BANDS):
+            if not active[b]:
+                continue
+            Tb = band_T(b)
+            for i in range(4):
+                acc[i] = acc[i] + (Tb[i] - eye[i])
+        T = tuple(eye[i] + acc[i] for i in range(4))
+    return T
+
+
 def _eq_ring_tail_samples(params: EQParams, sample_rate, eps=1e-10):
     """Padding needed so truncated IIR ringing is below eps: from the max
     pole radius of the active bands (host-side, static)."""
@@ -236,13 +294,21 @@ def eq_process_bands_fft(x, params: EQParams, sample_rate, eps=1e-10):
     pad = _eq_ring_tail_samples(params, sample_rate, eps)
     m = next_pow2(n + pad)
     csize = m // 2 + 1
-    freqs = np.arange(csize) * (sample_rate / m)
-    h11, h12, h21, h22 = _band_matrix_response(params, sample_rate, freqs)
     cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    h11 = jnp.asarray(h11, cdt)
-    h12 = jnp.asarray(h12, cdt)
-    h21 = jnp.asarray(h21, cdt)
-    h22 = jnp.asarray(h22, cdt)
+    if x.dtype == jnp.float64:
+        # exactness path: host f64 response, embedded as constants
+        freqs = np.arange(csize) * (sample_rate / m)
+        h11, h12, h21, h22 = _band_matrix_response(params, sample_rate, freqs)
+        h11 = jnp.asarray(h11, cdt)
+        h12 = jnp.asarray(h12, cdt)
+        h21 = jnp.asarray(h21, cdt)
+        h22 = jnp.asarray(h22, cdt)
+    else:
+        # fast path: evaluate the response on device (avoids shipping
+        # csize-sized complex constants with the graph); coefficients stay
+        # host-side f64
+        h11, h12, h21, h22 = _band_matrix_response_device(
+            params, sample_rate, m, csize, cdt)
 
     X = jnp.fft.rfft(x, n=m, axis=-1)
     XL = X[..., 0, :]

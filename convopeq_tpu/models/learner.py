@@ -1,0 +1,285 @@
+"""Adaptive noise-shaper learner — CMA-ES fit of lattice reflection coeffs.
+
+Rebuild of src/NoiseShaperLearner.{h,cpp} + src/MklFftEvaluator.h: the
+reference captures live audio blocks, simulates the 9th-order lattice
+shaper's quantization error, and scores it with a psychoacoustic spectral
+cost, driving a 9-dim CMA-ES (population 18, elite 6) in unconstrained
+(atanh-parcor) space.  Coefficient banks: 10 sample rates x 3 bit depths x
+6 modes = 180 banks (ARCHITECTURE.md:41-42).
+
+SpectralEvaluator transcribes the evaluator's structure
+(MklFftEvaluator.h:140-400): 4096-point FFT of the stereo error,
+A-weighting-squared band weights with a -12 dB/oct rolloff above 18 kHz,
+absolute-threshold-of-hearing floor (Terhardt form, ref 90 dB SPL), JND
+weighting, softplus + tanh-capped over-threshold power, and the
+flatness / ultra-high-share / tonal penalties combined into
+compositeScore.  (The reference additionally runs a tonal/noise-masker
+spreading model before thresholding; this rebuild currently thresholds at
+the ATH floor only — the dominant term for dither-level signals — and the
+masking spread is noted as a refinement.)
+
+Offline/worker-side NumPy (the reference runs it on a worker thread); the
+shaper simulation itself reuses the JAX lattice kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ir.cmaes import CmaEs, CmaEsParams
+from .dither import lattice_dither, NS_ORDER_LATTICE
+from ..utils.dsputil import K_OUTPUT_HEADROOM
+
+K_FFT_LENGTH = 4096
+K_SPECTRUM_BINS = K_FFT_LENGTH // 2 + 1
+K_MIN_POWER = 1.0e-24
+K_REFERENCE_SPL_DB = 90.0
+K_EFFECTIVE_CAP_DB = 20.0
+K_SOFTPLUS_K = 2.0
+K_JND_MIN = 0.5
+K_JND_LOW_PEAK = 1.0
+K_JND_HIGH_SLOPE = 0.2
+K_JND_WEIGHT_CONST = 0.3
+
+# Bank axes (ARCHITECTURE.md:41-42)
+BANK_SAMPLE_RATES = [44100.0, 48000.0, 88200.0, 96000.0, 176400.0,
+                     192000.0, 352800.0, 384000.0, 705600.0, 768000.0]
+BANK_BIT_DEPTHS = [16, 24, 32]
+BANK_MODES = 6
+NUM_BANKS = len(BANK_SAMPLE_RATES) * len(BANK_BIT_DEPTHS) * BANK_MODES  # 180
+
+# Learner normalization target levels (the reference normalizes captured
+# audio to several target levels so the fit covers the loudness range)
+TARGET_LEVELS = [0.1, 0.25, 0.5, 0.8]
+
+
+def coefficient_bank_index(sample_rate: float, bit_depth: int, mode: int) -> int:
+    sr_idx = int(np.argmin([abs(sample_rate - r) for r in BANK_SAMPLE_RATES]))
+    bd_idx = 0 if bit_depth <= 16 else 1 if bit_depth <= 24 else 2
+    mode = int(np.clip(mode, 0, BANK_MODES - 1))
+    return (sr_idx * len(BANK_BIT_DEPTHS) + bd_idx) * BANK_MODES + mode
+
+
+def a_weight_power(f, nyquist_hz):
+    """bandWeightForHz (MklFftEvaluator.h:187-206): squared A-weighting
+    response with a steep rolloff above 18 kHz."""
+    f = np.maximum(np.asarray(f, np.float64), 1.0)
+    f2 = f * f
+    h1 = (-4.737338981378384e-24 * f2 ** 3 + 2.043828333606125e-15 * f2 ** 2
+          - 1.363894795463638e-7 * f2 + 1.0)
+    h2 = (1.306612257402824e-19 * f2 ** 2 * f - 2.118150887541247e-11 * f2 * f
+          + 5.559488023498642e-4 * f)
+    r = (1.246332637532143e-4 * f) / np.sqrt(h1 * h1 + h2 * h2)
+    w = r * r
+    hi = f > 18000.0
+    roll = 10.0 ** (-12.0 * (f - 18000.0)
+                    / np.maximum(1000.0, nyquist_hz - 18000.0) / 20.0)
+    w = np.where(hi, w * roll * roll, w)
+    return np.maximum(1.0e-6, w)
+
+
+def ath_spl_db(f):
+    """Terhardt absolute threshold (MklFftEvaluator.h:570-578)."""
+    fk = np.maximum(0.01, np.asarray(f, np.float64) / 1000.0)
+    return (3.64 * fk ** -0.8 - 6.5 * np.exp(-0.6 * (fk - 3.3) ** 2)
+            + 0.001 * fk ** 4)
+
+
+def jnd_weight(f):
+    fk = np.maximum(0.0, np.asarray(f, np.float64) / 1000.0)
+    jnd = np.clip(K_JND_MIN + K_JND_LOW_PEAK * np.exp(-0.5 * (fk - 0.5) ** 2)
+                  + K_JND_HIGH_SLOPE * (fk - 3.0) ** 2, K_JND_MIN, 3.0)
+    return 1.0 / np.maximum(1e-6, jnd + K_JND_WEIGHT_CONST)
+
+
+def _softplus(x):
+    z = K_SOFTPLUS_K * np.asarray(x)
+    out = np.where(z > 50.0, x,
+                   np.log1p(np.exp(np.clip(z, -50.0, 50.0))) / K_SOFTPLUS_K)
+    return np.where(z < -50.0, np.exp(np.clip(z, -745, 0)) / K_SOFTPLUS_K, out)
+
+
+@dataclass
+class EvaluatorResult:
+    noise_power: float = 0.0
+    spectral_flatness_penalty: float = 0.0
+    hf_penalty: float = 0.0
+    time_domain_rms: float = 0.0
+    composite_score: float = 0.0
+
+
+class SpectralEvaluator:
+    """Psychoacoustic spectral cost (MklFftEvaluator equivalent)."""
+
+    def __init__(self, sample_rate: float):
+        self.sample_rate = max(8000.0, float(sample_rate))
+        nyq = self.sample_rate / 2.0
+        bin_width = nyq / (K_SPECTRUM_BINS - 1)
+        f = np.arange(K_SPECTRUM_BINS) * bin_width
+        self.freq = f
+        self.weights = a_weight_power(f, nyq)
+        self.ath_db = ath_spl_db(f) - K_REFERENCE_SPL_DB
+        self.jnd_w = jnd_weight(f)
+        self.flatness_penalty_weight = 0.35
+        self.hf_penalty_weight = float(np.clip(
+            0.20 * np.sqrt(48000.0 / self.sample_rate), 0.05, 0.20))
+
+        def hz_to_bin(hz):
+            return int(np.clip(round(hz / bin_width), 0, K_SPECTRUM_BINS - 1))
+        fs_start = min(12000.0, nyq * 0.60)
+        fs_end = min(18000.0, nyq * 0.82)
+        if fs_end <= fs_start + bin_width * 8.0:
+            fs_start, fs_end = nyq * 0.50, nyq * 0.80
+        self.flat_lo = hz_to_bin(fs_start)
+        self.flat_hi = max(self.flat_lo + 1, hz_to_bin(fs_end))
+        hb_start = max(14000.0, nyq * 0.60)
+        if hb_start >= nyq:
+            hb_start = nyq * 0.60
+        uh_start = nyq * 0.85
+        if uh_start <= hb_start + bin_width * 8.0:
+            uh_start = hb_start + bin_width * 8.0
+        self.high_bin = hz_to_bin(hb_start)
+        self.uh_bin = max(self.high_bin + 1, hz_to_bin(uh_start))
+        hb_bins = max(1, K_SPECTRUM_BINS - self.high_bin)
+        uh_bins = max(1, K_SPECTRUM_BINS - self.uh_bin)
+        self.expected_uh_share = uh_bins / hb_bins
+
+    def evaluate(self, err_l: np.ndarray, err_r: np.ndarray) -> EvaluatorResult:
+        el = np.asarray(err_l, np.float64)[:K_FFT_LENGTH]
+        er = np.asarray(err_r, np.float64)[:K_FFT_LENGTH]
+        if len(el) < K_FFT_LENGTH:
+            el = np.pad(el, (0, K_FFT_LENGTH - len(el)))
+            er = np.pad(er, (0, K_FFT_LENGTH - len(er)))
+        time_rms = np.sqrt(0.5 * (el @ el + er @ er) / K_FFT_LENGTH)
+
+        SL = np.fft.rfft(el)
+        SR_ = np.fft.rfft(er)
+        p = np.maximum(K_MIN_POWER,
+                       0.5 * (np.abs(SL) ** 2 + np.abs(SR_) ** 2))
+
+        # flatness over the 12-18k (or scaled) band
+        band = p[self.flat_lo:self.flat_hi + 1] + K_MIN_POWER
+        geo = np.exp(np.mean(np.log(band)))
+        arith = np.mean(band)
+        flatness = float(np.clip(geo / max(arith, K_MIN_POWER), 0.0, 1.0))
+
+        high = p[self.high_bin:].sum()
+        uh = p[self.uh_bin:].sum()
+        hf_pen = max(0.0, uh / max(high + K_MIN_POWER, K_MIN_POWER)
+                     - self.expected_uh_share) \
+            / max(1.0 - self.expected_uh_share, K_MIN_POWER)
+
+        # tonal peak detection (bin > 6x local average)
+        local = 0.5 * (p[:-2] + p[2:]) + K_MIN_POWER
+        peaks = p[1:-1][p[1:-1] > 6.0 * local]
+        peak_energy = peaks.max() if peaks.size else 0.0
+        tonal_pen = max(0.0, peak_energy / (p.sum() + K_MIN_POWER) - 0.05) * 10.0
+
+        # psychoacoustic over-threshold power (ATH floor; the reference adds
+        # a masker spreading model on top)
+        signal_db = 10.0 * np.log10(p)
+        delta_db = signal_db - self.ath_db
+        eff_db = K_EFFECTIVE_CAP_DB * np.tanh(_softplus(delta_db)
+                                              / K_EFFECTIVE_CAP_DB)
+        eff_power = np.maximum(0.0, 10.0 ** (eff_db / 10.0) - 1.0)
+        w = self.weights * self.jnd_w
+        noise_power = float((w * eff_power).sum() / max(w.sum(), K_MIN_POWER)
+                            * K_FFT_LENGTH)
+
+        res = EvaluatorResult(
+            noise_power=noise_power,
+            spectral_flatness_penalty=1.0 - flatness,
+            hf_penalty=float(hf_pen),
+            time_domain_rms=float(time_rms))
+        res.composite_score = noise_power * (
+            1.0 + self.flatness_penalty_weight * res.spectral_flatness_penalty
+            + self.hf_penalty_weight * res.hf_penalty + tonal_pen)
+        return res
+
+
+def simulate_shaper_error(audio_lr: np.ndarray, reflection_coeffs,
+                          sample_rate: float, bit_depth: int,
+                          rng: np.random.Generator | None = None,
+                          uniforms: np.ndarray | None = None):
+    """Quantization error of the lattice shaper on a stereo block.
+
+    Pass `uniforms` for a deterministic cost (the learner fixes the dither
+    draw per session so CMA-ES sees a noise-free objective)."""
+    import jax.numpy as jnp
+    x = np.asarray(audio_lr, np.float64)
+    if uniforms is None:
+        uniforms = (rng or np.random.default_rng(0)).uniform(
+            size=x.shape + (2,))
+    y = np.asarray(lattice_dither(jnp.asarray(x), jnp.asarray(uniforms),
+                                  reflection_coeffs, bit_depth))
+    return y - x * K_OUTPUT_HEADROOM
+
+
+@dataclass
+class LearnedState:
+    """NoiseShaperLearner::LearnedState analog."""
+    best_coefficients: np.ndarray
+    best_score: float
+    generations: int
+    bank_index: int = 0
+
+
+class NoiseShaperLearner:
+    """CMA-ES learning loop (NoiseShaperLearner.h; dims from
+    CmaEsOptimizer.h:14-16: dim 9, population 18, elite 6)."""
+
+    def __init__(self, sample_rate: float, bit_depth: int = 16, mode: int = 0,
+                 seed: int = 0):
+        self.sample_rate = sample_rate
+        self.bit_depth = bit_depth
+        self.mode = mode
+        self.evaluator = SpectralEvaluator(sample_rate)
+        self.opt = CmaEs(NS_ORDER_LATTICE, population=18, elite=6,
+                         params=CmaEsParams(sigma_min=0.03, sigma_max=0.30),
+                         seed=seed)
+        self.opt.init_mean(np.zeros(NS_ORDER_LATTICE))
+        self.rng = np.random.default_rng(seed + 1)
+        self._uniforms = None
+        self.best = None
+        self.best_score = np.inf
+        self.generation = 0
+
+    def _cost(self, unconstrained, audio_lr):
+        k = CmaEs.to_parcor(unconstrained)
+        total = 0.0
+        rms = np.sqrt(np.mean(audio_lr ** 2)) + 1e-12
+        if self._uniforms is None or \
+                self._uniforms.shape[:2] != (2, K_FFT_LENGTH):
+            self._uniforms = self.rng.uniform(size=(2, K_FFT_LENGTH, 2))
+        for lvl in TARGET_LEVELS:
+            block = audio_lr * (lvl / rms)
+            err = simulate_shaper_error(block[:, :K_FFT_LENGTH], k,
+                                        self.sample_rate, self.bit_depth,
+                                        uniforms=self._uniforms)
+            total += self.evaluator.evaluate(err[0], err[1]).composite_score
+        return total / len(TARGET_LEVELS)
+
+    def feed(self, audio_lr: np.ndarray, generations: int = 1):
+        """Run CMA-ES generations on a captured stereo block (2, >=4096)."""
+        audio_lr = np.asarray(audio_lr, np.float64)
+        for _ in range(generations):
+            cands = self.opt.sample()
+            fits = np.array([self._cost(c, audio_lr) for c in cands])
+            i = int(np.argmin(fits))
+            if fits[i] < self.best_score:
+                self.best_score = float(fits[i])
+                self.best = CmaEs.to_parcor(cands[i])
+            self.opt.update(cands, fits)
+            self.generation += 1
+        return self.state()
+
+    def state(self) -> LearnedState:
+        coeffs = self.best if self.best is not None \
+            else np.zeros(NS_ORDER_LATTICE)
+        return LearnedState(
+            best_coefficients=np.asarray(coeffs),
+            best_score=float(self.best_score),
+            generations=self.generation,
+            bank_index=coefficient_bank_index(self.sample_rate,
+                                              self.bit_depth, self.mode))

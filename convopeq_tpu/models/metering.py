@@ -90,7 +90,9 @@ def _windowed_power(z, sample_rate, window_sec, hop_sec=0.1):
     hop = int(round(hop_sec * sample_rate))
     n = z.shape[-1]
     if n < win:
-        return jnp.zeros(z.shape[:-1] + (0,))
+        # shorter-than-window signals: single gate block over what exists
+        win = n
+        hop = max(1, n)
     nwin = (n - win) // hop + 1
     idx = jnp.arange(nwin) * hop
     e2 = jnp.sum(z * z, axis=-2) if z.ndim >= 2 else z * z  # channel sum

@@ -1,0 +1,468 @@
+"""Streaming (serving) runtime: block-at-a-time processing with state.
+
+The real-time analog of the reference's audio callback path (SURVEY.md
+§3.1): one jitted `streaming_step(state, block)` advances a batch of
+independent streams by `block_size` samples, carrying all DSP state
+functionally — the TPU-native replacement for the reference's per-thread
+mutable state + RCU handoff.  Throughput comes from the stream batch; the
+step is identical every call (static shapes, `lax.cond` only on the tail
+layers' frame clocks).
+
+State carried (mirrors DSPCore's detached runtime states,
+AudioEngine.h:849-898): DC blocker states, EQ band filter states
+(NUM_BANDS x 4 x 2), per-channel NUC layer states (overlap-save frame,
+FDL ring, input accumulator, aligned output ring, frame counter),
+output-filter biquad states, block counter.
+
+Constraints:
+- block_size must equal the NUC L0 partition size (pow2 engine block);
+- tail layers fire every (P_l / P_0) steps via `lax.cond`;
+- tail-layer alignment requires offset_l >= part_size_l (holds for the
+  standard tail-mode configs; the reference DROPS contributions in the
+  violating corner, see MKLNonUniformConvolver delayLineReadAdd skip).
+
+Exactness: consecutive `streaming_step` calls equal the offline
+`nuc_convolve`/EQ scan outputs in steady state; tail-layer contributions
+begin after their first complete frame (warmup zeros, like the reference).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.eq import EQParams, band_active_mask, NUM_BANDS
+from ..models.eq import STEREO, LEFT, RIGHT, MID, SIDE, SERIAL
+from ..models.nuc import NUCState
+from ..models.output_filter import output_filter_coeffs, IDENTITY
+from ..ops.dc_blocker import dc_blocker_alphas
+from ..ops.softclip import soft_clip, soft_clip_params
+from ..ops.svf import svf_coeffs, svf_process
+from ..ops.scan_iir import affine_scan_2x2, biquad_df2t_scan
+from ..utils.dsputil import equal_power_sin, K_OUTPUT_HEADROOM
+from ..models.convolver import CONVOLUTION_HEADROOM_GAIN
+from ..models.gain_planner import CONVOLVER_THEN_EQ
+
+
+# ---------------------------------------------------------------- ring ops
+
+def _ring_write(ring, data, pos):
+    """Circular write of `data` (static length L) at traced pos."""
+    n = ring.shape[-1]
+    L = data.shape[-1]
+    doubled = jnp.concatenate([ring, ring], axis=-1)
+    doubled = jax.lax.dynamic_update_slice_in_dim(doubled, data, pos, axis=-1)
+    first = doubled[..., :n]
+    second = doubled[..., n:]
+    wrap_len = jnp.maximum(pos + L - n, 0)
+    return jnp.where(jnp.arange(n) < wrap_len, second, first)
+
+
+def _ring_read(ring, pos, L):
+    doubled = jnp.concatenate([ring, ring], axis=-1)
+    return jax.lax.dynamic_slice_in_dim(doubled, pos, L, axis=-1)
+
+
+# ------------------------------------------------------------- NUC layers
+
+@dataclass
+class StreamLayerState:
+    prev: jnp.ndarray       # (..., P) previous overlap-save frame
+    fdl: jnp.ndarray        # (..., numParts, P+1) complex, newest first
+    acc: jnp.ndarray        # (..., P) input accumulation buffer
+    ring: jnp.ndarray       # (..., ring_len) aligned output ring (tail)
+    step: jnp.ndarray       # () int32 block counter
+
+
+jax.tree_util.register_pytree_node(
+    StreamLayerState,
+    lambda s: ((s.prev, s.fdl, s.acc, s.ring, s.step), None),
+    lambda _, c: StreamLayerState(*c))
+
+
+def _layer_init(batch, lp, block_size, rdt, cdt):
+    ring_len = 1
+    if lp.offset > 0:
+        if lp.offset < lp.part_size:
+            raise ValueError(
+                f"streaming tail layer needs offset ({lp.offset}) >= "
+                f"part_size ({lp.part_size}); the reference drops these "
+                "contributions — use the offline path for this config")
+        ring_len = int(2 ** int(np.ceil(np.log2(lp.offset + 2 * lp.part_size))))
+    return StreamLayerState(
+        prev=jnp.zeros(batch + (lp.part_size,), rdt),
+        fdl=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), cdt),
+        acc=jnp.zeros(batch + (lp.part_size,), rdt),
+        ring=jnp.zeros(batch + (ring_len,), rdt),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _layer_step(state: StreamLayerState, block, H, lp, block_size, gain):
+    """Advance one NUC layer by one engine block and return its output."""
+    p = lp.part_size
+    ratio = p // block_size
+
+    if ratio == 1 and lp.offset == 0:
+        # L0: immediate (processLayerBlock)
+        osa = jnp.concatenate([state.prev, block], axis=-1)
+        X = jnp.fft.rfft(osa, axis=-1)
+        fdl = jnp.concatenate([X[..., None, :], state.fdl[..., :-1, :]],
+                              axis=-2)
+        Y = jnp.sum(fdl * H, axis=-2)
+        y = jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]
+        return StreamLayerState(prev=block, fdl=fdl, acc=state.acc,
+                                ring=state.ring, step=state.step + 1), gain * y
+
+    slot = jnp.mod(state.step, ratio)
+    acc = jax.lax.dynamic_update_slice_in_dim(
+        state.acc, block, slot * block_size, axis=-1)
+    frame_done = jnp.equal(slot, ratio - 1)
+    ring_len = state.ring.shape[-1]
+
+    def fire(_):
+        osa = jnp.concatenate([state.prev, acc], axis=-1)
+        X = jnp.fft.rfft(osa, axis=-1)
+        fdl2 = jnp.concatenate([X[..., None, :], state.fdl[..., :-1, :]],
+                               axis=-2)
+        Y = jnp.sum(fdl2 * H, axis=-2)
+        y = jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]
+        # frame index k: this frame holds local samples [k*p, (k+1)*p);
+        # aligned stream position = k*p + offset
+        k = (state.step + 1) // ratio - 1
+        pos = jnp.mod(k * p + lp.offset, ring_len)
+        return acc, fdl2, _ring_write(state.ring, y, pos)
+
+    def hold(_):
+        return state.prev, state.fdl, state.ring
+
+    prev, fdl, ring = jax.lax.cond(frame_done, fire, hold, None)
+
+    read_pos = jnp.mod(state.step * block_size, ring_len)
+    out = _ring_read(ring, read_pos, block_size)
+    return StreamLayerState(prev=prev, fdl=fdl, acc=acc, ring=ring,
+                            step=state.step + 1), gain * out
+
+
+# ------------------------------------------------------------- full chain
+
+@dataclass
+class StreamState:
+    """All carried state for a batch of streams."""
+    dc_in: jnp.ndarray        # (..., 2, 2)
+    dc_out: jnp.ndarray       # (..., 2, 2)
+    eq_states: jnp.ndarray    # (..., NUM_BANDS, 4, 2)
+    conv_layers: tuple        # ((left layers...), (right layers...))
+    of_states: jnp.ndarray    # (..., 2, 3, 2)  [channel][biquad stage]
+    direct_hist: tuple | None # ((..., K-1) per channel) or None
+    sc_up_hist: jnp.ndarray | None   # (..., 2, H_up) soft-clip OS history
+    sc_down_hist: jnp.ndarray | None # (..., 2, H_dn)
+    step: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    StreamState,
+    lambda s: ((s.dc_in, s.dc_out, s.eq_states, s.conv_layers, s.of_states,
+                s.direct_hist, s.sc_up_hist, s.sc_down_hist, s.step), None),
+    lambda _, c: StreamState(*c))
+
+
+class StreamingChain:
+    """Compiled block-at-a-time chain for a fixed config + prepared IR.
+
+    Supports: input headroom + DC blockers, 20-band EQ (scan path, all
+    channel modes, serial/parallel), stereo NUC convolution with wet/dry
+    mix and direct head, output filter, makeup gain, soft clip (memoryless
+    at base rate), output DC + headroom.  (Base-rate only — the
+    oversampled streaming wrap is an offline-path feature for now.)
+    """
+
+    def __init__(self, cfg, eq_params: EQParams | None,
+                 conv_state: NUCState | None = None,
+                 conv_state_r: NUCState | None = None, dtype=jnp.float32):
+        if cfg.oversampling_factor > 1:
+            raise NotImplementedError(
+                "streaming path runs at base rate; use the offline chain "
+                "for oversampled configs")
+        self.cfg = cfg
+        self.eq_params = eq_params
+        self.left = conv_state
+        self.right = conv_state_r if conv_state_r is not None else conv_state
+        self.dtype = dtype
+        self.block_size = (conv_state.plan.latency if conv_state is not None
+                           else 512)
+        self._sc_stage = None
+        self._sc_hists = (0, 0)
+        if cfg.soft_clip_enabled:
+            from ..ops.oversample import design_halfband
+            st = design_halfband(31, 90.0)   # prepareSingleStage (local 2x OS)
+            h_up = max(len(st.conv) - 1, st.center_delay)
+            h_dn = max(st.center_tap, st.conv_parity + 2 * (len(st.conv) - 1))
+            h_dn += h_dn % 2           # even: keeps the decimator grid aligned
+            self._sc_stage = st
+            self._sc_hists = (h_up, h_dn)
+        self._step = jax.jit(self._make_step())
+
+    # ------------------------------------------------------------ state
+    def init_state(self, batch_shape=()) -> StreamState:
+        rdt = self.dtype
+        cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
+        conv_layers = ((), ())
+        direct_hist = None
+        if self.left is not None:
+            mk = lambda st: tuple(
+                _layer_init(batch_shape, lp, self.block_size, rdt, cdt)
+                for lp in st.plan.layers)
+            conv_layers = (mk(self.left), mk(self.right))
+            if self.left.plan.direct_taps > 0:
+                k = self.left.plan.direct_taps
+                direct_hist = tuple(
+                    jnp.zeros(batch_shape + (k - 1,), rdt) for _ in range(2))
+        sc_up = sc_down = None
+        if self.cfg.soft_clip_enabled:
+            h_up, h_dn = self._sc_hists
+            sc_up = jnp.zeros(batch_shape + (2, h_up), rdt)
+            sc_down = jnp.zeros(batch_shape + (2, h_dn), rdt)
+        return StreamState(
+            dc_in=jnp.zeros(batch_shape + (2, 2), rdt),
+            dc_out=jnp.zeros(batch_shape + (2, 2), rdt),
+            eq_states=jnp.zeros(batch_shape + (NUM_BANDS, 4, 2), rdt),
+            conv_layers=conv_layers,
+            of_states=jnp.zeros(batch_shape + (2, 3, 2), rdt),
+            direct_hist=direct_hist,
+            sc_up_hist=sc_up,
+            sc_down_hist=sc_down,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------- step
+    def _make_step(self):
+        cfg = self.cfg
+        eqp = self.eq_params
+        sr = cfg.sample_rate
+        dc_a = dc_blocker_alphas(sr, 3.0)
+        eq_active = (not cfg.eq_bypassed) and eqp is not None
+        conv_active = (not cfg.conv_bypassed) and self.left is not None
+        if eq_active:
+            active = band_active_mask(eqp)
+            coeffs = svf_coeffs(eqp.band_types, eqp.freqs, eqp.gains_db,
+                                eqp.qs, sr)
+            sat = float(eqp.saturation)
+        ofc = output_filter_coeffs(sr)
+        wet_g = float(equal_power_sin(min(cfg.wet_dry_mix, 1.0))) \
+            * CONVOLUTION_HEADROOM_GAIN
+        dry_g = float(equal_power_sin(1.0 - min(cfg.wet_dry_mix, 1.0)))
+
+        def dc_pair(x, states, alphas):
+            outs = []
+            new_s = []
+            for ch in range(2):
+                y, s = self._dc(x[..., ch, :], alphas, states[..., ch, :])
+                outs.append(y)
+                new_s.append(s)
+            return jnp.stack(outs, axis=-2), jnp.stack(new_s, axis=-2)
+
+        def run_eq(L, R, eq_states):
+            new_states = eq_states
+            if eqp.structure == SERIAL:
+                for b in range(NUM_BANDS):
+                    if not active[b]:
+                        continue
+                    cb = tuple(float(c[b]) for c in coeffs)
+                    L, R, new_states = self._band_block(
+                        L, R, cb, int(eqp.modes[b]), sat, b, new_states)
+            else:
+                srcL, srcR = L, R
+                accL = jnp.zeros_like(L)
+                accR = jnp.zeros_like(R)
+                for b in range(NUM_BANDS):
+                    if not active[b]:
+                        continue
+                    cb = tuple(float(c[b]) for c in coeffs)
+                    Lb, Rb, new_states = self._band_block(
+                        srcL, srcR, cb, int(eqp.modes[b]), sat, b, new_states)
+                    accL = accL + (Lb - srcL)
+                    accR = accR + (Rb - srcR)
+                L, R = srcL + accL, srcR + accR
+            return L, R, new_states
+
+        def run_conv(L, R, st: StreamState):
+            new_layers = []
+            outs = []
+            for ch, (sig, nuc) in enumerate(((L, self.left), (R, self.right))):
+                states = st.conv_layers[ch]
+                wet = jnp.zeros_like(sig)
+                ls = []
+                for lstate, H, lp in zip(states, nuc.layer_spectra,
+                                         nuc.plan.layers):
+                    lstate, y = _layer_step(lstate, sig, H, lp,
+                                            self.block_size, lp.gain)
+                    wet = wet + y
+                    ls.append(lstate)
+                new_layers.append(tuple(ls))
+                outs.append(wet)
+            wetL, wetR = outs
+
+            direct_hist = st.direct_hist
+            if direct_hist is not None:
+                k = self.left.plan.direct_taps
+                dh = []
+                douts = []
+                for ch, (sig, nuc) in enumerate(((L, self.left),
+                                                 (R, self.right))):
+                    windowed = jnp.concatenate([direct_hist[ch], sig], axis=-1)
+                    g = jnp.zeros_like(sig)
+                    for t in range(k):
+                        g = g + nuc.direct_ir[t] * windowed[
+                            ..., k - 1 - t:k - 1 - t + sig.shape[-1]]
+                    douts.append(g)
+                    dh.append(windowed[..., -(k - 1):])
+                wetL = wetL + douts[0]
+                wetR = wetR + douts[1]
+                direct_hist = tuple(dh)
+
+            outL = wetL * wet_g + L * dry_g
+            outR = wetR * wet_g + R * dry_g
+            return outL, outR, tuple(new_layers), direct_hist
+
+        def run_output_filter(L, R, of_states):
+            conv_is_last = conv_active and (
+                not eq_active or cfg.order != CONVOLVER_THEN_EQ)
+            if conv_is_last:
+                stages = [ofc["hc"][cfg.conv_hc_mode][0],
+                          ofc["hc"][cfg.conv_hc_mode][1],
+                          ofc["lc"][cfg.conv_lc_mode]]
+            else:
+                stages = [ofc["hpf"], ofc["lp"][cfg.eq_lpf_mode][0],
+                          ofc["lp"][cfg.eq_lpf_mode][1]]
+            chans = [L, R]
+            new_states = of_states
+            for ch in range(2):
+                x = chans[ch]
+                for si, c in enumerate(stages):
+                    x, s = self._biquad(x, c, new_states[..., ch, si, :])
+                    new_states = new_states.at[..., ch, si, :].set(s)
+                chans[ch] = x
+            return chans[0], chans[1], new_states
+
+        def step(state: StreamState, block):
+            x = jnp.asarray(block, self.dtype)
+            if cfg.input_headroom_gain != 1.0:
+                x = x * cfg.input_headroom_gain
+            x, dc_in = dc_pair(x, state.dc_in, dc_a)
+            L = x[..., 0, :]
+            R = x[..., 1, :]
+
+            eq_states = state.eq_states
+            conv_layers = state.conv_layers
+            direct_hist = state.direct_hist
+            if cfg.order == CONVOLVER_THEN_EQ:
+                if conv_active:
+                    L, R, conv_layers, direct_hist = run_conv(L, R, state)
+                if eq_active:
+                    L, R, eq_states = run_eq(L, R, eq_states)
+            else:
+                if eq_active:
+                    L, R, eq_states = run_eq(L, R, eq_states)
+                if conv_active:
+                    if abs(cfg.convolver_input_trim_gain - 1.0) > 1e-12:
+                        L = L * cfg.convolver_input_trim_gain
+                        R = R * cfg.convolver_input_trim_gain
+                    L, R, conv_layers, direct_hist = run_conv(L, R, state)
+
+            of_states = state.of_states
+            if conv_active or eq_active:
+                L, R, of_states = run_output_filter(L, R, of_states)
+
+            if cfg.output_makeup_gain != 1.0:
+                L = L * cfg.output_makeup_gain
+                R = R * cfg.output_makeup_gain
+            y = jnp.stack([L, R], axis=-2)
+            sc_up_hist = state.sc_up_hist
+            sc_down_hist = state.sc_down_hist
+            if cfg.soft_clip_enabled:
+                # local 2x OS wrap with FIR history carry (matches the
+                # offline chain's prepareSingleStage path exactly)
+                from ..ops.oversample import upsample2, downsample2
+                thr, knee, asym = soft_clip_params(cfg.saturation_amount)
+                h_up, h_dn = self._sc_hists
+                xext = jnp.concatenate([sc_up_hist, y], axis=-1)
+                u = upsample2(xext, self._sc_stage)[..., 2 * h_up:]
+                u = soft_clip(u, thr, knee, asym)
+                uext = jnp.concatenate([sc_down_hist, u], axis=-1)
+                y = downsample2(uext, self._sc_stage)[..., h_dn // 2:]
+                sc_up_hist = xext[..., -h_up:]
+                sc_down_hist = uext[..., -h_dn:]
+            y, dc_out = dc_pair(y, state.dc_out, dc_a)
+            if cfg.apply_output_headroom:
+                y = y * K_OUTPUT_HEADROOM
+            return StreamState(dc_in=dc_in, dc_out=dc_out,
+                               eq_states=eq_states, conv_layers=conv_layers,
+                               of_states=of_states, direct_hist=direct_hist,
+                               sc_up_hist=sc_up_hist,
+                               sc_down_hist=sc_down_hist,
+                               step=state.step + 1), y
+
+        return step
+
+    # ------------------------------------------------------- primitives
+    @staticmethod
+    def _dc(x, alphas, state):
+        a0, a1 = alphas
+        b0, b1 = 1.0 - a0, 1.0 - a1
+        A = jnp.asarray([[b0, 0.0], [-a1 * b0, b1]], x.dtype)
+        bu = jnp.stack([a0 * x, a1 * b0 * x], axis=-1)
+        pre, final = affine_scan_2x2(A, bu, state)
+        y = b1 * (b0 * (x - pre[..., 0]) - pre[..., 1])
+        return y, final
+
+    @staticmethod
+    def _biquad(x, c, state):
+        if tuple(c) == IDENTITY:
+            return x, state
+        return biquad_df2t_scan(x, *c, s0=state)
+
+    def _band_block(self, L, R, cb, mode, sat, b, eq_states):
+        """One EQ band over one block with carried 4-channel states."""
+        def run(sig, ch_idx, simd):
+            y, s = svf_process(sig, cb, state0=eq_states[..., b, ch_idx, :],
+                               saturation=sat, simd_tanh=simd)
+            return y, eq_states.at[..., b, ch_idx, :].set(s)
+
+        if mode == STEREO:
+            yl, eq_states = run(L, 0, True)
+            yr, eq_states = run(R, 1, True)
+            return yl, yr, eq_states
+        if mode == LEFT:
+            yl, eq_states = run(L, 0, False)
+            return yl, R, eq_states
+        if mode == RIGHT:
+            yr, eq_states = run(R, 1, False)
+            return L, yr, eq_states
+        m = (L + R) * 0.5
+        s = (L - R) * 0.5
+        if mode == MID:
+            fm, eq_states = run(m, 2, False)
+            return fm + s, fm - s, eq_states
+        fs, eq_states = run(s, 3, False)
+        return m + fs, m - fs, eq_states
+
+    # ---------------------------------------------------------- process
+    def step(self, state: StreamState, block):
+        """Advance by one block: block (..., 2, block_size)."""
+        return self._step(state, block)
+
+    def process(self, x, state: StreamState | None = None):
+        """Convenience: stream a whole (..., 2, N) signal block by block."""
+        n = x.shape[-1]
+        bs = self.block_size
+        nb = n // bs
+        if state is None:
+            state = self.init_state(tuple(x.shape[:-2]))
+        outs = []
+        for k in range(nb):
+            state, y = self.step(state, x[..., k * bs:(k + 1) * bs])
+            outs.append(y)
+        return jnp.concatenate(outs, axis=-1), state

@@ -15,3 +15,6 @@ import jax  # noqa: E402
 # back before any backend is initialized so tests run on local CPU in f64.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite is compile-dominated on CPU.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_convopeq")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
