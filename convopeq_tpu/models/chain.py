@@ -95,7 +95,9 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
     os_factor = resolve_oversampling_factor(cfg.oversampling_factor, sr)
     proc_rate = sr * os_factor
 
-    # 1. input stage
+    # 1. input stage: sanitize/limit (InputBitDepthTransform.h:32-100 —
+    # NaN -> 0, clamp +-1.0, denormal flush) then headroom + DC blockers
+    x = jnp.clip(jnp.where(jnp.isfinite(x), x, 0.0), -1.0, 1.0)
     if cfg.input_headroom_gain != 1.0:
         x = x * cfg.input_headroom_gain
     x, _ = dc_block(x, sr, 3.0)

@@ -210,6 +210,22 @@ def spectrum_frames(x, fft_size: int = ANALYZER_FFT, hop: int = ANALYZER_HOP):
     return jnp.abs(spec) * ANALYZER_MAG_SCALE
 
 
+def spectrum_peak_hold(x, sample_rate: float, hold_sec: float = 1.0,
+                       fft_size: int = ANALYZER_FFT, hop: int = ANALYZER_HOP):
+    """Per-bin peak with hold (SpectrumAnalyzerComponent.h:88,123
+    PEAK_HOLD_SEC = 1.0): each frame shows the max magnitude over the
+    trailing `hold_sec` of frames — a sliding-window max over the frame
+    axis."""
+    mags = spectrum_frames(x, fft_size, hop)
+    frames_per_hold = max(1, int(round(hold_sec * sample_rate / hop)))
+    stacked = [mags]
+    for k in range(1, frames_per_hold):
+        shifted = jnp.pad(mags, [(0, 0)] * (mags.ndim - 2)
+                          + [(k, 0), (0, 0)])[..., :mags.shape[-2], :]
+        stacked.append(shifted)
+    return jnp.max(jnp.stack(stacked), axis=0)
+
+
 def spectrum_smoothed(x, ema_alpha: float = 0.15, **kw):
     """EMA-smoothed analyzer frames: s[f] = s[f-1]*(1-a) + mag[f]*a
     (one-pole scan over the frame axis)."""

@@ -1,2 +1,2 @@
-from . import (dc_blocker, fast_tanh, oversample, partitioned_conv,  # noqa: F401
-               scan_iir, softclip, svf)
+from . import (dc_blocker, fast_tanh, fft_backend, limiter,  # noqa: F401
+               oversample, partitioned_conv, scan_iir, softclip, svf)

@@ -1,1 +1,1 @@
-from . import streaming, telemetry  # noqa: F401
+from . import crossfade, streaming, telemetry  # noqa: F401

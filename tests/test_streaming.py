@@ -1,5 +1,6 @@
 """Streaming runtime vs offline chain equivalence."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from convopeq_tpu.models.chain import ChainConfig, process_chain
@@ -40,6 +41,7 @@ def test_streaming_l0_only_matches_offline():
     assert err < 1e-9, err
 
 
+@pytest.mark.slow
 def test_streaming_tail_layers_match_offline_steady_state():
     """Multi-layer NUC: streaming equals offline after the tail warmup."""
     n_ir = 40000
