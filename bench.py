@@ -26,7 +26,9 @@ def main():
 
     sr = 48000.0
     ir_len = 1_000_000
-    seconds = 20.0
+    # long buffers amortize the fixed host<->device round-trip (~30 ms
+    # through the axon tunnel) so the figure reflects chain throughput
+    seconds = 60.0
     n = int(sr * seconds)
     batch = 4                     # independent stereo streams per call
     dtype = jnp.float32

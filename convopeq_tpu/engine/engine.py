@@ -100,6 +100,27 @@ def energy_scale(ir: np.ndarray) -> float:
     return (1.0 / np.sqrt(max_energy)) * ENERGY_SCALE_MARGIN
 
 
+def compute_ir_scale(ir: np.ndarray) -> float:
+    """computeScaleFactor 3-stage orchestration (IRConverter.cpp:173-196):
+    energy normalization (-6 dB margin) followed by clamp protection
+    (applyClampProtection): effective peak <= 0.5, effective RMS <= 0.25,
+    frequency-response peak <= 1.41 (+3 dB)."""
+    ir = np.atleast_2d(np.asarray(ir, np.float64))
+    scale = energy_scale(ir)
+    if scale <= 0.0 or not np.isfinite(scale):
+        return 1.0
+    peak = float(np.abs(ir).max()) if ir.size else 0.0
+    rms = float(np.sqrt(np.mean(ir * ir))) if ir.size else 0.0
+    if peak * scale > 0.5:
+        scale *= 0.5 / (peak * scale)
+    if rms * scale > 0.25:
+        scale *= 0.25 / (rms * scale)
+    freq_peak = estimate_max_frequency_gain(ir * scale)
+    if freq_peak > 1.41:
+        scale *= 1.41 / freq_peak
+    return scale
+
+
 def trim_ir(ir: np.ndarray, sample_rate: float, target_length: int):
     """Trim stage (LoaderThread.cpp:619-641): cut/zero-pad to target length
     with a 2% raised fade-out (min 256 samples, max 80 ms)."""
@@ -228,8 +249,8 @@ class ConvoPeqEngine:
                 trimmed = np.stack(chans)
                 self._mp_cache.store(mp_key, trimmed)
 
-        # Analysis + energy scale
-        scale = energy_scale(trimmed)
+        # Analysis + energy scale with clamp protection
+        scale = compute_ir_scale(trimmed)
         self._ir_peak_latency = estimate_peak_latency(trimmed)
         self._ir_freq_peak_db = ir_peak_gain_db(trimmed * scale)
         self._ir_scale = scale

@@ -37,7 +37,9 @@ def dc_blocker_alphas(sample_rate: float, cutoff_hz: float):
 def dc_block(x, sample_rate: float, cutoff_hz: float, state0=None):
     """Apply the 2-stage DC blocker along the last axis.
 
-    Returns (y, final_state) with state = (s0, s1).
+    Returns (y, final_state) with state = (s0, s1).  (A cascaded
+    two-one-pole decomposition was tried and measured slower than the
+    fused 2x2 scan on TPU.)
     """
     x = jnp.asarray(x)
     dt = x.dtype

@@ -117,14 +117,26 @@ def make_stages(ratio: int, preset: int = PRESET_IIR_LIKE,
 
 
 def _causal_fir(x, coeffs):
-    """y[n] = sum_r coeffs[r] * x[n-r], zero history.  Batched over leading
-    dims via XLA conv."""
+    """y[n] = sum_r coeffs[r] * x[n-r], zero history, batched.
+
+    TPU: XLA convolution.  CPU: explicit shift-accumulate — XLA CPU's
+    Eigen conv kernel has an out-of-bounds read that segfaults inside
+    large fused graphs (observed as tf_XLAEigen SIGSEGV), so the CPU
+    backend never goes through it.
+    """
     x = jnp.asarray(x)
-    c = jnp.asarray(coeffs, x.dtype)
-    r = c.shape[0]
+    c = np.asarray(coeffs, np.float64)
+    r = len(c)
     n = x.shape[-1]
+    if jax.default_backend() == "cpu":
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r - 1, 0)])
+        y = c[r - 1] * xp[..., :n]          # largest delay first
+        for k in range(r - 2, -1, -1):
+            y = y + c[k] * xp[..., r - 1 - k:r - 1 - k + n]
+        return y
+    cj = jnp.asarray(c, x.dtype)
     lhs = x.reshape((-1, 1, n))
-    rhs = c[::-1][None, None, :]
+    rhs = cj[::-1][None, None, :]
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding=[(r - 1, 0)],
         precision=jax.lax.Precision.HIGHEST)

@@ -123,10 +123,11 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
     X = jnp.fft.rfft(osa, axis=-1)                        # (..., K, P+1)
     H = jnp.asarray(Hparts)
     if frame_mac == "auto":
-        # the grouped-conv form wins for short partition counts on CPU; the
-        # batched frame-FFT form wins for large K*P (and on TPU, where
-        # grouped convolutions lower poorly)
-        frame_mac = "fft" if X.shape[-2] * H.shape[0] > 1 << 14 else "conv"
+        # CPU always takes the frame-FFT form: XLA CPU's Eigen conv kernel
+        # has an OOB-read bug that segfaults inside large fused graphs.
+        # On TPU the depthwise-conv MAC measures faster at every layer
+        # size (no pow2 frame padding) — see PROGRESS notes.
+        frame_mac = "fft" if jax.default_backend() == "cpu" else "conv"
     if frame_mac == "fft":
         Y = _causal_frame_mac_fft(X, H)
     else:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _affine_combine(left, right):
@@ -125,7 +126,8 @@ def affine_scan_2x2(A, bu, s0, chunk: int = DEFAULT_CHUNK):
     return pre_states, final_state
 
 
-def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None):
+def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None,
+                     method: str = "2x2"):
     """Transposed-direct-form-II biquad via associative scan.
 
     y[n]  = b0 x[n] + z1[n]
@@ -144,6 +146,14 @@ def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None):
     x = jnp.asarray(x)
     dt = x.dtype
     batch = x.shape[:-1]
+    # method="diag" selects the pole-diagonalized variant (complex partial
+    # fractions / cascaded real one-poles); it measured SLOWER than the
+    # fused 2x2 scan on TPU v5e (646x vs 1291x chain RTF), so 2x2 is the
+    # default.
+    if method == "diag" and all(np.ndim(c) == 0 for c in (b0, b1, b2, a1, a2)):
+        return _biquad_scan_diag(x, float(b0), float(b1), float(b2),
+                                 float(a1), float(a2), s0)
+
     b0 = jnp.broadcast_to(jnp.asarray(b0, dt), batch)
     b1 = jnp.broadcast_to(jnp.asarray(b1, dt), batch)
     b2 = jnp.broadcast_to(jnp.asarray(b2, dt), batch)
@@ -164,6 +174,115 @@ def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None):
         s0 = jnp.zeros(batch + (2,), dt)
     pre, final = affine_scan_2x2(A, bu, s0)
     y = b0[..., None] * x + pre[..., 0]
+    return y, final
+
+
+def _complex_one_pole(v, p, w0):
+    """w[n] = p*w[n-1] + v[n] (complex p, complex drive), pre/final states
+    via the chunked scalar scan in real component form."""
+    dtc = jnp.complex128 if v.dtype == jnp.float64 else jnp.complex64
+    v = v.astype(dtc) if not jnp.iscomplexobj(v) else v
+    batch = v.shape[:-1]
+    n = v.shape[-1]
+    chunk = min(DEFAULT_CHUNK, n)
+    nc = -(-n // chunk)
+    npad = nc * chunk
+    if npad != n:
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, npad - n)])
+    shp = batch + (nc, chunk)
+    vv = v.reshape(shp)
+    aa = jnp.full(shp, p, dtc)
+
+    def combine(l, r):
+        la, lv = l
+        ra, rv = r
+        return (ra * la, ra * lv + rv)
+
+    ms, vs = jax.lax.associative_scan(combine, (aa, vv), axis=-1)
+    w0 = jnp.broadcast_to(jnp.asarray(w0, dtc), batch)
+    if nc > 1:
+        cm, cv = jax.lax.associative_scan(combine,
+                                          (ms[..., -1], vs[..., -1]), axis=-1)
+        post_c = cm * w0[..., None] + cv
+        start = jnp.concatenate([w0[..., None], post_c[..., :-1]], axis=-1)
+    else:
+        start = w0[..., None]
+    post = ms * start[..., None] + vs
+    post = post.reshape(batch + (npad,))[..., :n]
+    return post
+
+
+def _biquad_scan_diag(x, b0, b1, b2, a1, a2, s0=None):
+    """Scalar-coefficient biquad via pole diagonalization (zero state).
+
+    All-pole part 1/(1 + a1 z^-1 + a2 z^-2): poles p, q.
+    - complex pair: y_ap[n] = 2 Re(r w[n]), w = inclusive one-pole(p) of v,
+      r = p/(p - conj(p))  (partial fractions)
+    - real poles (incl. repeated): two cascaded real one-pole stages.
+    v = FIR(b) of x.  A provided initial state routes to the 2x2 form
+    (TDF2 state isn't directly transferable to the diagonal basis).
+    Returns (y, final TDF2 state).
+    """
+    x = jnp.asarray(x)
+    dt = x.dtype
+    if s0 is not None:
+        return _biquad_scan_2x2(x, b0, b1, b2, a1, a2, s0)
+
+    # FIR part v[n] = b0 x[n] + b1 x[n-1] + b2 x[n-2]
+    x1 = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(1, 0)])[..., :-1]
+    x2 = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(2, 0)])[..., :-2]
+    v = b0 * x + b1 * x1 + b2 * x2
+
+    disc = a1 * a1 - 4.0 * a2
+    if a1 == 0.0 and a2 == 0.0:
+        y = v
+    elif disc < 0.0:
+        p = complex(-a1 / 2.0, np.sqrt(-disc) / 2.0)
+        r = p / (p - np.conj(p))
+        w = _complex_one_pole(v, p, 0.0)
+        y = (2.0 * (jnp.real(w) * r.real - jnp.imag(w) * r.imag)).astype(dt)
+    else:
+        sq = np.sqrt(max(disc, 0.0))
+        p = (-a1 + sq) / 2.0
+        q = (-a1 - sq) / 2.0
+        pre_p, _ = one_pole_scan(v, p, 1.0, 0.0)
+        u = p * pre_p + v            # inclusive one-pole output
+        pre_q, _ = one_pole_scan(u, q, 1.0, 0.0)
+        y = q * pre_q + u
+
+    # final TDF2 state for continuity, reconstructed from the tail:
+    # z2_final = b2 x[-1] - a2 y[-1]
+    # z1_final = b1 x[-1] - a1 y[-1] + (b2 x[-2] - a2 y[-2])
+    xm1 = x[..., -1]
+    ym1 = y[..., -1]
+    xm2 = x[..., -2] if x.shape[-1] >= 2 else jnp.zeros_like(xm1)
+    ym2 = y[..., -2] if x.shape[-1] >= 2 else jnp.zeros_like(ym1)
+    z1_final = b1 * xm1 - a1 * ym1 + (b2 * xm2 - a2 * ym2)
+    z2_final = b2 * xm1 - a2 * ym1
+    final = jnp.stack([z1_final, z2_final], axis=-1)
+    return y, final
+
+
+def _biquad_scan_2x2(x, b0, b1, b2, a1, a2, s0):
+    """General 2x2 path (nonzero initial state / per-batch coefficients)."""
+    x = jnp.asarray(x)
+    dt = x.dtype
+    batch = x.shape[:-1]
+    b0a = jnp.broadcast_to(jnp.asarray(b0, dt), batch)
+    b1a = jnp.broadcast_to(jnp.asarray(b1, dt), batch)
+    b2a = jnp.broadcast_to(jnp.asarray(b2, dt), batch)
+    a1a = jnp.broadcast_to(jnp.asarray(a1, dt), batch)
+    a2a = jnp.broadcast_to(jnp.asarray(a2, dt), batch)
+    one = jnp.ones(batch, dt)
+    zero = jnp.zeros(batch, dt)
+    A = jnp.stack([
+        jnp.stack([-a1a, one], axis=-1),
+        jnp.stack([-a2a, zero], axis=-1),
+    ], axis=-2)
+    bu = jnp.stack([x * (b1a - a1a * b0a)[..., None],
+                    x * (b2a - a2a * b0a)[..., None]], axis=-1)
+    pre, final = affine_scan_2x2(A, bu, jnp.asarray(s0, dt))
+    y = b0a[..., None] * x + pre[..., 0]
     return y, final
 
 

@@ -177,3 +177,18 @@ def test_sharded_chain_on_cpu_mesh():
     y = fn(xs, conv_r)
     assert y.shape == x.shape
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_compute_ir_scale_clamps():
+    from convopeq_tpu.engine.engine import compute_ir_scale
+    # delta IR: energy 1 -> base scale ~0.5012; peak*scale > 0.5 -> clamped
+    ir = np.zeros((1, 4096))
+    ir[0, 2048] = 1.0
+    s = compute_ir_scale(ir)
+    assert s * 1.0 <= 0.5 + 1e-12        # effective peak clamp
+    # resonant IR with big frequency peak gets the +3dB clamp
+    t = np.arange(8192)
+    res = (np.sin(2 * np.pi * 0.02 * t) * np.exp(-t / 2000.0))[None]
+    s2 = compute_ir_scale(res)
+    from convopeq_tpu.ir.analyzer import estimate_max_frequency_gain
+    assert estimate_max_frequency_gain(res * s2) <= 1.41 * 1.001

@@ -103,3 +103,19 @@ def test_svf_state_carry_blockwise():
     y1, s1 = svf_process(jnp.asarray(x[:500]), c)
     y2, _ = svf_process(jnp.asarray(x[500:]), c, state0=s1)
     np.testing.assert_allclose(np.concatenate([y1, y2]), np.asarray(full), atol=1e-12)
+
+
+def test_biquad_diag_variant_matches_2x2():
+    from convopeq_tpu.ops.scan_iir import biquad_df2t_scan
+    x = jnp.asarray(RNG.normal(size=600))
+    # complex poles
+    args = (0.8, -1.2, 0.6, -1.5, 0.64)
+    y2, s2 = biquad_df2t_scan(x, *args)
+    yd, sd = biquad_df2t_scan(x, *args, method="diag")
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(y2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(s2), atol=1e-10)
+    # real poles (overdamped)
+    args = (1.0, 0.3, 0.02, -1.3, 0.4)
+    y2, _ = biquad_df2t_scan(x, *args)
+    yd, _ = biquad_df2t_scan(x, *args, method="diag")
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(y2), atol=1e-10)
