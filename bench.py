@@ -16,6 +16,80 @@ import time
 import numpy as np
 
 
+def bench_all():
+    """`python bench.py --all`: the five BASELINE.json configs (one JSON
+    line each, headline last)."""
+    import jax
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import ChainConfig, process_chain
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.nuc import FilterSpec, TAIL_BYPASS
+
+    sr = 48000.0
+    seconds = 20.0
+    n = int(sr * seconds)
+    batch = 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, jnp.float32)
+
+    def run(name, cfg, eqp, conv):
+        if conv is None:
+            fn = jax.jit(lambda v: jnp.sum(jnp.abs(
+                process_chain(v, cfg, eqp, None))))
+            args = (x,)
+        else:
+            fn = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+                process_chain(v, cfg, eqp, c))))
+            args = (x, conv)
+        float(fn(*args))
+        best = min(_timed(fn, args) for _ in range(3))
+        print(json.dumps({"metric": name,
+                          "value": round(batch * seconds / best, 1),
+                          "unit": "x realtime"}))
+
+    def _timed(fn, args):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        return time.perf_counter() - t0
+
+    eq20 = EQParams()
+    eq20.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+
+    # 1: 20-band EQ only
+    run("config1: 20-band EQ only",
+        ChainConfig(sample_rate=sr, conv_bypassed=True), eq20, None)
+
+    # 2: uniform partitioned conv, 64k-tap mono-ish IR (stereo dup)
+    ir64 = rng.normal(size=65536) * np.exp(-np.arange(65536) / 10000.0) * 0.05
+    conv64 = stereo_prepare(jnp.asarray(ir64, jnp.float32), 512,
+                            FilterSpec(sample_rate=sr, tail_mode=TAIL_BYPASS),
+                            apply_spectrum_filter=False)
+    run("config2: uniform partitioned conv 64k-tap IR",
+        ChainConfig(sample_rate=sr, eq_bypassed=True), None, conv64)
+
+    # 3: EQ->Conv with 4x oversampling
+    conv8k = stereo_prepare(
+        jnp.asarray(rng.normal(size=8192) * 0.01, jnp.float32), 512,
+        FilterSpec(sample_rate=sr))
+    run("config3: EQ->Conv + 4x oversampling",
+        ChainConfig(sample_rate=sr, oversampling_factor=4), eq20, conv8k)
+
+    # 4: NUC 1M-tap stereo IR (headline without EQ)
+    decay = np.exp(-np.arange(1_000_000) / 100_000.0)
+    ir1m = np.stack([rng.normal(size=1_000_000) * decay] * 2) * 0.02
+    conv1m = stereo_prepare(jnp.asarray(ir1m, jnp.float32), 512,
+                            FilterSpec(sample_rate=sr))
+    run("config4: NUC 1M-tap stereo IR",
+        ChainConfig(sample_rate=sr, eq_bypassed=True), None, conv1m)
+
+    # 5: full chain with soft clip + makeup at 48k (dither is a separate
+    # sequential pass; see models/dither.py)
+    run("config5: full chain (EQ+NUC+softclip)",
+        ChainConfig(sample_rate=sr, soft_clip_enabled=True,
+                    saturation_amount=0.3), eq20, conv1m)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,4 +146,7 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--all" in sys.argv:
+        bench_all()
+        sys.exit(0)
     sys.exit(main())

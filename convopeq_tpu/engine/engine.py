@@ -397,6 +397,40 @@ class ConvoPeqEngine:
                              self.dither_bit_depth, key=key)
         return y
 
+    def streaming_chain(self):
+        """Build the block-at-a-time serving chain for the current config
+        (runtime/streaming.py).  Base-rate only (no oversampling)."""
+        from ..runtime.streaming import StreamingChain
+        cfg = self._effective_config()
+        eqp = self.eq_params if not cfg.eq_bypassed else None
+        left = self._conv_state.left if self._conv_state is not None else None
+        right = self._conv_state.right if self._conv_state is not None else None
+        return StreamingChain(cfg, eqp, left, right, dtype=self.dtype)
+
+    def process_streaming(self, x, state=None):
+        """Stream (..., 2, N) through the serving chain block by block.
+
+        Returns (y, carry_state) — pass the state back in to continue a
+        stream across calls (the audio-callback usage pattern)."""
+        sc = getattr(self, "_streaming", None)
+        if sc is None or self._chain_key() != getattr(
+                self, "_streaming_key", None):
+            sc = self.streaming_chain()
+            self._streaming = sc
+            self._streaming_key = self._chain_key()
+        return sc.process(x, state)
+
+    def progressive_upgrade(self, target_block_size: int):
+        """ProgressiveUpgradeThread analog: re-prepare the convolver at a
+        larger engine block (bigger L0 partitions — lower per-block cost,
+        higher latency).  The reference steps FFT sizes up in a background
+        thread; here the rebuild is one call and the prepared-state cache
+        keeps both variants warm for crossfaded switchover."""
+        if self._ir_raw is None:
+            raise RuntimeError("no IR loaded")
+        self.block_size = int(target_block_size)
+        return self.load_impulse_response(self._ir_raw, self.sample_rate)
+
     # ------------------------------------------------------------ state IO
     def save_state(self) -> str:
         """Serialize the full configuration to JSON (preset analog)."""

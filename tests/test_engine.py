@@ -192,3 +192,34 @@ def test_compute_ir_scale_clamps():
     s2 = compute_ir_scale(res)
     from convopeq_tpu.ir.analyzer import estimate_max_frequency_gain
     assert estimate_max_frequency_gain(res * s2) <= 1.41 * 1.001
+
+
+def test_engine_streaming_matches_offline():
+    eng = ConvoPeqEngine(SR, 512)
+    ir = np.zeros((2, 2000))
+    ir[:, 0] = 1.0
+    ir[:, 700] = 0.3
+    eng.load_impulse_response(ir, SR, target_seconds=2000 / SR)
+    eng.set_eq_band(0, band_type=1, freq=800.0, gain_db=4.0, q=1.0)
+    from dataclasses import replace
+    eng.config = replace(eng.config, eq_method="scan")
+    x = RNG.normal(size=(2, 4096)) * 0.3
+    off = np.asarray(eng.process(jnp.asarray(x)))
+    y, st = eng.process_streaming(jnp.asarray(x))
+    err = np.sqrt(np.mean((np.asarray(y) - off) ** 2))
+    assert err < 1e-9, err
+    # continue the stream with carried state
+    y2, _ = eng.process_streaming(jnp.asarray(x), st)
+    assert np.asarray(y2).shape == x.shape
+
+
+def test_engine_progressive_upgrade():
+    eng = ConvoPeqEngine(SR, 512)
+    ir = _ir(3000)
+    eng.load_impulse_response(ir, SR)
+    assert eng.latency_breakdown().algorithm_latency_samples == 512
+    eng.progressive_upgrade(2048)
+    assert eng.latency_breakdown().algorithm_latency_samples == 2048
+    x = RNG.normal(size=(2, 4096)) * 0.2
+    y = np.asarray(eng.process(jnp.asarray(x)))
+    assert np.all(np.isfinite(y))
