@@ -134,6 +134,15 @@ def _causal_fir(x, coeffs):
         for k in range(r - 2, -1, -1):
             y = y + c[k] * xp[..., r - 1 - k:r - 1 - k + n]
         return y
+    if r > 8:
+        # TPU: long time-domain FIRs through lax.conv lower very poorly
+        # (measured 100x slowdowns at 256-tap kernels over megasample
+        # signals); run them as single-partition overlap-save FFT
+        # convolution instead.
+        from .partitioned_conv import partition_spectra, uniform_partitioned_conv
+        p = max(1024, 1 << int(np.ceil(np.log2(r))))
+        H = partition_spectra(jnp.asarray(c, x.dtype), p, dtype=x.dtype)
+        return uniform_partitioned_conv(x, H, p, frame_mac="conv")
     cj = jnp.asarray(c, x.dtype)
     lhs = x.reshape((-1, 1, n))
     rhs = cj[::-1][None, None, :]
