@@ -14,7 +14,6 @@ analog) and prints the latency breakdown and loudness measurement.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 import numpy as np

@@ -31,8 +31,7 @@ from ..models.chain import (ChainConfig, process_chain,
 from ..models.convolver import StereoConvolverState, stereo_prepare
 from ..models.dither import apply_dither
 from ..models.eq import EQParams
-from ..models.gain_planner import (AutoGainPlan, PlannerInput,
-                                   CONVOLVER_THEN_EQ, EQ_THEN_CONVOLVER, plan)
+from ..models.gain_planner import AutoGainPlan, PlannerInput, plan
 from ..models.nuc import FilterSpec
 from ..utils.dsputil import next_pow2
 from ..utils.wavio import read_wav

@@ -29,12 +29,10 @@ a retrace, cached by config key).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.dc_blocker import dc_block
 from ..ops.oversample import (

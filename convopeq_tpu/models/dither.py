@@ -40,8 +40,6 @@ by the shaper's feedback gain, determinism, and spectral equivalence.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -261,7 +261,6 @@ def _band_matrix_response_device(params: EQParams, sample_rate, m, csize,
 def _eq_ring_tail_samples(params: EQParams, sample_rate, eps=1e-10):
     """Padding needed so truncated IIR ringing is below eps: from the max
     pole radius of the active bands (host-side, static)."""
-    from ..ops.svf import svf_transition
     active = band_active_mask(params)
     coeffs = svf_coeffs(params.band_types, params.freqs, params.gains_db,
                         params.qs, sample_rate)

@@ -23,7 +23,7 @@ shaper simulation itself reuses the JAX lattice kernel.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -20,12 +20,11 @@ scans; the STFT is one batched rfft over frames.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.scan_iir import biquad_df2t_scan, one_pole_scan
-from ..ops.oversample import design_halfband, upsample2
+from ..ops.oversample import design_halfband
 
 LUFS_OFFSET = -0.691             # BS.1770-4 eq. 2
 ABSOLUTE_GATE_LUFS = -70.0

@@ -32,7 +32,7 @@ partition exactly instead of spreading MACs across callbacks.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 import jax
 

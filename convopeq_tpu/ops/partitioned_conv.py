@@ -18,7 +18,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def partition_spectra(h, part_size: int, num_parts: int | None = None,

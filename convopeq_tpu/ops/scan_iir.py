@@ -42,6 +42,12 @@ def _affine_combine(left, right):
 
 DEFAULT_CHUNK = 4096
 
+# Pole radius above which an f32 biquad switches from the 2x2 companion scan
+# to the diagonalized scan (see biquad_df2t_scan docstring): intermediate
+# product growth ~1/(e*(1-r)) times f32 eps crosses ~1e-6 around r=0.996;
+# 0.99 leaves margin.
+POLE_RADIUS_DIAG_F32 = 0.99
+
 
 def affine_scan_2x2(A, bu, s0, chunk: int = DEFAULT_CHUNK):
     """Evaluate s[n+1] = A @ s[n] + bu[n] for constant A.
@@ -127,7 +133,7 @@ def affine_scan_2x2(A, bu, s0, chunk: int = DEFAULT_CHUNK):
 
 
 def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None,
-                     method: str = "2x2"):
+                     method: str = "auto"):
     """Transposed-direct-form-II biquad via associative scan.
 
     y[n]  = b0 x[n] + z1[n]
@@ -141,16 +147,28 @@ def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None,
     Coefficients are scalars or arrays broadcastable against the batch
     shape x.shape[:-1]; time is the last axis of x.
 
-    Returns (y, final_state).
+    method:
+      "2x2"  — fused companion-matrix scan (fastest on TPU v5e: 1291x vs
+               646x chain RTF for the diag variant).
+      "diag" — pole-diagonalized (complex partial fractions / cascaded real
+               one-poles).  Numerically essential for near-DC poles in f32:
+               companion-matrix prefix products grow like k*r^k (up to
+               ~1/(e*(1-r))) before cancelling, so an 18 Hz biquad at 48 kHz
+               (r≈0.9983) loses ~6e-2 relative accuracy in the 2x2 scan but
+               only ~7e-4 diagonalized (the f32 sequential floor is ~4e-4).
+      "auto" — 2x2, except scalar-coefficient f32 biquads with pole radius
+               > POLE_RADIUS_DIAG_F32 route to diag.
     """
     x = jnp.asarray(x)
     dt = x.dtype
     batch = x.shape[:-1]
-    # method="diag" selects the pole-diagonalized variant (complex partial
-    # fractions / cascaded real one-poles); it measured SLOWER than the
-    # fused 2x2 scan on TPU v5e (646x vs 1291x chain RTF), so 2x2 is the
-    # default.
-    if method == "diag" and all(np.ndim(c) == 0 for c in (b0, b1, b2, a1, a2)):
+    scalar_coeffs = all(np.ndim(c) == 0 for c in (b0, b1, b2, a1, a2))
+    if method == "auto":
+        method = "2x2"
+        if (scalar_coeffs and dt != jnp.float64
+                and float(a2) > POLE_RADIUS_DIAG_F32 ** 2):
+            method = "diag"
+    if method == "diag" and scalar_coeffs:
         return _biquad_scan_diag(x, float(b0), float(b1), float(b2),
                                  float(a1), float(a2), s0)
 
@@ -177,39 +195,83 @@ def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None,
     return y, final
 
 
-def _complex_one_pole(v, p, w0):
-    """w[n] = p*w[n-1] + v[n] (complex p, complex drive), pre/final states
-    via the chunked scalar scan in real component form."""
-    dtc = jnp.complex128 if v.dtype == jnp.float64 else jnp.complex64
-    v = v.astype(dtc) if not jnp.iscomplexobj(v) else v
-    batch = v.shape[:-1]
-    n = v.shape[-1]
-    chunk = min(DEFAULT_CHUNK, n)
+def _complex_one_pole(v, p, w0, chunk: int = 128):
+    """w[n] = p*w[n-1] + v[n] (constant complex p), inclusive outputs as a
+    split (real, imag) pair of real arrays.
+
+    MXU formulation: within a chunk of `chunk` samples the recurrence is a
+    lower-triangular Toeplitz matmul, win[i] = sum_{j<=i} p^(i-j) v[j]
+    (T built on host, |entries| = r^k <= 1 so it is well-conditioned in
+    f32, unlike companion-matrix prefix products); chunk boundary states
+    follow a scalar one-pole with coefficient p^chunk (short associative
+    scan over N/chunk elements); the chunk-start state enters each sample
+    through a precomputed p^(i+1) ramp.
+
+    Everything is split re/im real arithmetic — no complex dtypes anywhere,
+    both because the tunneled TPU backend lacks several complex ops (eager
+    dispatch hits UNIMPLEMENTED) and so the TPU matmul stays controllable
+    via Precision.HIGHEST (not silently bf16).  `v` is a real array;
+    `w0` is a Python scalar/complex initial state.
+    """
+    f64 = v.dtype == jnp.float64
+    dtr = jnp.float64 if f64 else jnp.float32
+    vr = jnp.asarray(v, dtr)
+    batch = vr.shape[:-1]
+    n = vr.shape[-1]
+    chunk = min(chunk, n)
     nc = -(-n // chunk)
     npad = nc * chunk
     if npad != n:
-        v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, npad - n)])
+        vr = jnp.pad(vr, [(0, 0)] * (vr.ndim - 1) + [(0, npad - n)])
     shp = batch + (nc, chunk)
-    vv = v.reshape(shp)
-    aa = jnp.full(shp, p, dtc)
+    vr = vr.reshape(shp)
 
-    def combine(l, r):
-        la, lv = l
-        ra, rv = r
-        return (ra * la, ra * lv + rv)
+    pc = complex(p)
+    k = np.subtract.outer(np.arange(chunk), np.arange(chunk))
+    T = np.where(k >= 0, pc ** np.maximum(k, 0), 0.0)     # T[i, j] = p^(i-j)
+    Ttr = jnp.asarray(T.T.real, dtr)
+    Tti = jnp.asarray(T.T.imag, dtr)
+    hi = jax.lax.Precision.HIGHEST
+    win_r = jnp.matmul(vr, Ttr, precision=hi)
+    win_i = jnp.matmul(vr, Tti, precision=hi)
 
-    ms, vs = jax.lax.associative_scan(combine, (aa, vv), axis=-1)
-    w0 = jnp.broadcast_to(jnp.asarray(w0, dtc), batch)
+    # chunk-boundary carry: b[c] = p^chunk b[c-1] + win[c, -1]
+    w0c = complex(w0)
+    w0r = jnp.full(batch + (1,), w0c.real, dtr)
+    w0i = jnp.full(batch + (1,), w0c.imag, dtr)
     if nc > 1:
-        cm, cv = jax.lax.associative_scan(combine,
-                                          (ms[..., -1], vs[..., -1]), axis=-1)
-        post_c = cm * w0[..., None] + cv
-        start = jnp.concatenate([w0[..., None], post_c[..., :-1]], axis=-1)
+        pch = pc ** chunk
+        bnd_r = win_r[..., -1]
+        bnd_i = win_i[..., -1]
+        ar = jnp.full(bnd_r.shape, pch.real, dtr)
+        ai = jnp.full(bnd_r.shape, pch.imag, dtr)
+
+        def combine(l, r):
+            lar, lai, lvr, lvi = l
+            rar, rai, rvr, rvi = r
+            return (rar * lar - rai * lai, rar * lai + rai * lar,
+                    rar * lvr - rai * lvi + rvr, rar * lvi + rai * lvr + rvi)
+
+        cmr, cmi, cvr, cvi = jax.lax.associative_scan(
+            combine, (ar, ai, bnd_r, bnd_i), axis=-1)
+        post_r = cmr * w0r - cmi * w0i + cvr
+        post_i = cmr * w0i + cmi * w0r + cvi
+        start_r = jnp.concatenate([w0r, post_r[..., :-1]], axis=-1)
+        start_i = jnp.concatenate([w0i, post_i[..., :-1]], axis=-1)
     else:
-        start = w0[..., None]
-    post = ms * start[..., None] + vs
-    post = post.reshape(batch + (npad,))[..., :n]
-    return post
+        start_r, start_i = w0r, w0i
+
+    # w[c, i] = win[c, i] + p^(i+1) * start[c]
+    ramp = pc ** (np.arange(chunk) + 1)
+    ramp_r = jnp.asarray(ramp.real, dtr)
+    ramp_i = jnp.asarray(ramp.imag, dtr)
+    sr = start_r[..., None]
+    si = start_i[..., None]
+    w_r = win_r + sr * ramp_r - si * ramp_i
+    w_i = win_i + sr * ramp_i + si * ramp_r
+    w_r = w_r.reshape(batch + (npad,))[..., :n]
+    w_i = w_i.reshape(batch + (npad,))[..., :n]
+    return w_r, w_i
 
 
 def _biquad_scan_diag(x, b0, b1, b2, a1, a2, s0=None):
@@ -239,8 +301,8 @@ def _biquad_scan_diag(x, b0, b1, b2, a1, a2, s0=None):
     elif disc < 0.0:
         p = complex(-a1 / 2.0, np.sqrt(-disc) / 2.0)
         r = p / (p - np.conj(p))
-        w = _complex_one_pole(v, p, 0.0)
-        y = (2.0 * (jnp.real(w) * r.real - jnp.imag(w) * r.imag)).astype(dt)
+        wr, wi = _complex_one_pole(v, p, 0.0)
+        y = (2.0 * (wr * r.real - wi * r.imag)).astype(dt)
     else:
         sq = np.sqrt(max(disc, 0.0))
         p = (-a1 + sq) / 2.0

@@ -21,7 +21,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
-import numpy as np
 
 # fadeTimeSec per trigger (ARCHITECTURE.md:694-704)
 FADE_TIMES_SEC = {

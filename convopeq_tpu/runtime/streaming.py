@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.eq import EQParams, band_active_mask, NUM_BANDS
-from ..models.eq import STEREO, LEFT, RIGHT, MID, SIDE, SERIAL
+from ..models.eq import STEREO, LEFT, RIGHT, MID, SERIAL
 from ..models.nuc import NUCState
 from ..models.output_filter import output_filter_coeffs, IDENTITY
 from ..ops.dc_blocker import dc_blocker_alphas

@@ -12,7 +12,6 @@ NumPy paths (utils/wavio) when the library can't be built.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -1,0 +1,90 @@
+"""Precision policy: f32 TPU-path fidelity vs f64, and regression pins."""
+import numpy as np
+import jax.numpy as jnp
+
+from convopeq_tpu.models.chain import ChainConfig, process_chain
+from convopeq_tpu.models.convolver import stereo_prepare
+from convopeq_tpu.models.eq import EQParams
+from convopeq_tpu.models.nuc import FilterSpec
+
+RNG = np.random.default_rng(99)
+SR = 48000.0
+
+
+def _setup():
+    n_ir = 6000
+    t = np.arange(n_ir)
+    ir = RNG.normal(size=(2, n_ir)) * np.exp(-t / 800.0) * 0.3
+    p = EQParams()
+    p.enabled[:] = False
+    for i, (bt, f, g, q, m) in enumerate([(0, 80, 3, 0.7, 0),
+                                          (1, 500, -4, 1.2, 0),
+                                          (1, 2000, 5, 2, 3),
+                                          (2, 8000, 2, 0.7, 0)]):
+        p.set_band(i, band_type=bt, freq=f, gain_db=g, q=q, mode=m,
+                   enabled=True)
+    cfg = ChainConfig(sample_rate=SR, soft_clip_enabled=True,
+                      saturation_amount=0.25, eq_method="scan")
+    x = RNG.normal(size=(2, 8192)) * 0.25
+    return ir, p, cfg, x
+
+
+def test_chain_regression_pin():
+    """End-to-end output pinned (f64, fixed seed/config): guards against
+    silent semantic drift across refactors."""
+    ir, p, cfg, x = _setup()
+    conv = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=SR))
+    y = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv))
+    np.testing.assert_allclose(
+        y[0, 4000:4006],
+        [0.25831349, -0.68423518, -0.64369992, -0.86408318, -0.29380731,
+         0.72707911], atol=2e-8)
+    assert abs(float(np.sqrt((y ** 2).mean())) - 0.5945206035348838) < 1e-8
+
+
+def test_f32_path_close_to_f64():
+    """The TPU fast dtype (f32) tracks the f64 exactness path.
+
+    The bound is set by the output filter's 18-20 Hz biquads: a pole at
+    radius r=0.998 is conditioned like 1/(1-r) ~ 540 in ANY f32
+    realization (the sequential TDF-II floor is ~4e-4 relative), so the
+    achievable full-chain tracking is ~-65 dB, not f32 eps.  The measured
+    value with the diagonalized scan dispatch (ops.scan_iir
+    POLE_RADIUS_DIAG_F32) is ~5.6e-4; the bound below also guards against
+    regressing to the ill-conditioned 2x2 companion scan (6e-2)."""
+    ir, p, cfg, x = _setup()
+    conv64 = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=SR))
+    conv32 = stereo_prepare(jnp.asarray(ir, jnp.float32), 512,
+                            FilterSpec(sample_rate=SR))
+    y64 = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv64))
+    y32 = np.asarray(process_chain(jnp.asarray(x, np.float32), cfg, p, conv32))
+    rel = np.sqrt(np.mean((y32 - y64) ** 2)) / np.sqrt(np.mean(y64 ** 2))
+    assert rel < 2e-3, rel
+
+    # the fft EQ path obeys the same bound
+    from dataclasses import replace
+    cfg_fft = replace(cfg, eq_method="fft", soft_clip_enabled=False)
+    y64f = np.asarray(process_chain(jnp.asarray(x), cfg_fft, p, conv64))
+    y32f = np.asarray(process_chain(jnp.asarray(x, np.float32), cfg_fft, p,
+                                    conv32))
+    rel = np.sqrt(np.mean((y32f - y64f) ** 2)) / np.sqrt(np.mean(y64f ** 2))
+    assert rel < 2e-3, rel
+
+
+def test_low_freq_biquad_f32_dispatch():
+    """Near-DC biquads in f32 auto-route to the diagonalized scan: the 2x2
+    companion scan's prefix products grow like k*r^k and lose ~100x accuracy
+    (6e-2 vs the 4e-4 sequential floor for an 18 Hz HPF at 48 kHz)."""
+    from convopeq_tpu.models.output_filter import output_filter_coeffs
+    from convopeq_tpu.ops.scan_iir import biquad_df2t_scan
+    x = RNG.normal(size=(2, 8192)) * 0.5
+    c = output_filter_coeffs(SR)["lc"][0]          # 18 Hz Butterworth-2 HPF
+    y64, _ = biquad_df2t_scan(jnp.asarray(x), *c)
+    y32, _ = biquad_df2t_scan(jnp.asarray(x, jnp.float32), *c)
+    rel = np.sqrt(np.mean((np.asarray(y32) - np.asarray(y64)) ** 2))
+    rel /= np.sqrt(np.mean(np.asarray(y64) ** 2))
+    assert rel < 2e-3, rel                          # diag: ~7e-4; 2x2: ~6e-2
+
+    # f64 keeps the fast 2x2 path and is exact to near-eps
+    y64b, _ = biquad_df2t_scan(jnp.asarray(x), *c, method="2x2")
+    assert np.allclose(np.asarray(y64), np.asarray(y64b))
