@@ -18,6 +18,8 @@ Conventions
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,28 +51,128 @@ DEFAULT_CHUNK = 4096
 POLE_RADIUS_DIAG_F32 = 0.99
 
 
-def affine_scan_2x2(A, bu, s0, chunk: int = DEFAULT_CHUNK):
+# In-chunk block size for the MXU (Toeplitz-matmul) scan backends.
+MATMUL_CHUNK = 128
+
+# Default affine-scan backend (A/B knob; see affine_scan_2x2 docstring).
+AFFINE_BACKEND = os.environ.get("CONVOPEQ_AFFINE_BACKEND", "matmul")
+
+
+def affine_scan_2x2(A, bu, s0, chunk: int | None = None,
+                    backend: str | None = None):
     """Evaluate s[n+1] = A @ s[n] + bu[n] for constant A.
 
-    Two-level blocked parallel scan: an in-chunk inclusive
-    `associative_scan` (size `chunk`, vectorized over all chunks and batch
-    dims) composes per-sample affine maps; a second small scan over the
-    per-chunk total maps propagates chunk-boundary states; an elementwise
-    pass applies chunk-start states to the in-chunk prefix maps.  Keeping
-    both scans small bounds XLA compile time independently of N while
-    remaining O(log) depth (no sequential sample loop anywhere).
+    backend="matmul" (default): within a chunk the solution is a strictly
+    lower-triangular block-Toeplitz matmul, s[b+i] = A^i s[b] +
+    sum_{j<i} A^(i-1-j) bu[b+j] — four (chunk x chunk) matmuls that run on
+    the MXU instead of the VPU; chunk-boundary states follow via a short
+    affine scan over N/chunk elements.  Numerically this composes the same
+    A^k products as the scan backend (identical conditioning), just
+    batched.  backend="scan": two-level blocked `associative_scan`
+    composing per-sample affine maps on the VPU.
 
     Args:
       A:  (..., 2, 2) constant transition matrix (broadcast against batch).
       bu: (..., N, 2) per-sample affine offsets.
       s0: (..., 2) initial state.
-      chunk: in-chunk scan size (static).
+      chunk: in-chunk block size (static); defaults to MATMUL_CHUNK /
+        DEFAULT_CHUNK per backend.
+      backend: "matmul" | "scan".
 
     Returns:
       (pre_states, final_state):
         pre_states (..., N, 2) — state before each sample (s[0..N-1]).
         final_state (..., 2)   — s[N].
     """
+    if backend is None:
+        backend = AFFINE_BACKEND
+    if backend == "matmul":
+        return _affine_scan_2x2_matmul(A, bu, s0, chunk or MATMUL_CHUNK)
+    return _affine_scan_2x2_scan(A, bu, s0, chunk or DEFAULT_CHUNK)
+
+
+def _affine_scan_2x2_matmul(A, bu, s0, chunk: int = MATMUL_CHUNK):
+    bu = jnp.asarray(bu)
+    dt = bu.dtype
+    batch = bu.shape[:-2]
+    n = bu.shape[-2]
+    A = jnp.broadcast_to(jnp.asarray(A, dt), batch + (2, 2))
+    s0 = jnp.broadcast_to(jnp.asarray(s0, dt), batch + (2,))
+    if len(batch) != 1:
+        # Flatten batch to rank 1: XLA's dot_general handles one batch dim
+        # markedly better than several (measured 56 ms vs 34 ms on v5e for
+        # (4, 2) vs (8,) over 2.88M samples).
+        nb = int(np.prod(batch)) if batch else 1
+        pre, fin = _affine_scan_2x2_matmul(
+            A.reshape((nb, 2, 2)), bu.reshape((nb, n, 2)),
+            s0.reshape((nb, 2)), chunk)
+        return pre.reshape(batch + (n, 2)), fin.reshape(batch + (2,))
+    hi = jax.lax.Precision.HIGHEST
+
+    chunk = min(chunk, n)
+    nc = -(-n // chunk)
+    npad = nc * chunk
+    bu_last = bu[..., n - 1, :]
+    if npad != n:
+        bu = jnp.pad(bu, [(0, 0)] * (bu.ndim - 2) + [(0, npad - n), (0, 0)])
+    bu_r = bu.reshape(batch + (nc, chunk, 2))
+
+    # P[k] = A^k for k = 0..chunk by log-doubling: P_2m = [P_m, A^m P_m]
+    # (O(log chunk) batched matmuls, no sequential scan).
+    Ps = jnp.broadcast_to(jnp.eye(2, dtype=dt), batch + (1, 2, 2))
+    Am = A
+    while Ps.shape[-3] < chunk + 1:
+        Ps = jnp.concatenate(
+            [Ps, jnp.einsum("...ab,...kbc->...kac", Am, Ps, precision=hi)],
+            axis=-3)
+        Am = jnp.einsum("...ab,...bc->...ac", Am, Am, precision=hi)
+    Ps = Ps[..., :chunk + 1, :, :]                  # (..., chunk+1, 2, 2)
+
+    # T[i, j] = A^(i-1-j) for j < i, else 0 (strictly lower Toeplitz),
+    # one (chunk x chunk) matrix per matrix component -> 4 clean batched
+    # matmuls for the drive contribution.
+    idx = np.subtract.outer(np.arange(chunk), np.arange(chunk)) - 1
+    idxc = jnp.asarray(np.clip(idx, 0, chunk))
+    maskT = jnp.asarray(idx >= 0, dt)
+    Tc = [[jnp.take(Ps[..., a, b], idxc, axis=-1) * maskT for b in (0, 1)]
+          for a in (0, 1)]
+    bu1 = bu_r[..., 0]
+    bu2 = bu_r[..., 1]
+    mm = lambda t, v: jnp.einsum("...ij,...cj->...ci", t, v, precision=hi)
+    win = jnp.stack([mm(Tc[0][0], bu1) + mm(Tc[0][1], bu2),
+                     mm(Tc[1][0], bu1) + mm(Tc[1][1], bu2)], axis=-1)
+
+    # chunk total map: matrix A^chunk (same for all chunks), value
+    # v_tot[c] = A @ win[c, -1] + bu[c, -1].
+    if nc > 1:
+        v_tot = jnp.einsum("...ab,...cb->...ca", A, win[..., -1, :],
+                           precision=hi) + bu_r[..., -1, :]
+        m_tot = Ps[..., chunk, :, :]
+        me = [jnp.broadcast_to(m_tot[..., a, b, None], batch + (nc,))
+              for a in (0, 1) for b in (0, 1)]
+        tot = (me[0], me[1], me[2], me[3], v_tot[..., 0], v_tot[..., 1])
+        c11, c12, c21, c22, cv1, cv2 = jax.lax.associative_scan(
+            _affine_combine, tot, axis=-1)
+        post_c1 = c11 * s0[..., :1] + c12 * s0[..., 1:] + cv1
+        post_c2 = c21 * s0[..., :1] + c22 * s0[..., 1:] + cv2
+        start = jnp.stack(
+            [jnp.concatenate([s0[..., :1], post_c1[..., :-1]], axis=-1),
+             jnp.concatenate([s0[..., 1:], post_c2[..., :-1]], axis=-1)],
+            axis=-1)                                 # (..., nc, 2)
+    else:
+        start = s0[..., None, :]
+
+    # pre[c, i] = A^i start[c] + win[c, i]
+    pre = jnp.einsum("...iab,...cb->...cia", Ps[..., :chunk, :, :], start,
+                     precision=hi) + win
+    pre = pre.reshape(batch + (npad, 2))[..., :n, :]
+    final = jnp.einsum("...ab,...b->...a", A, pre[..., n - 1, :],
+                       precision=hi) + bu_last
+    return pre, final
+
+
+def _affine_scan_2x2_scan(A, bu, s0, chunk: int = DEFAULT_CHUNK):
+    """Two-level blocked associative-scan backend (VPU)."""
     bu = jnp.asarray(bu)
     batch = bu.shape[:-2]
     n = bu.shape[-2]

@@ -81,6 +81,26 @@ def test_downsample2_matches_golden(taps):
     np.testing.assert_allclose(got, ref, atol=1e-13)
 
 
+@pytest.mark.parametrize("taps,n", [(511, 10000), (127, 3001), (31, 257),
+                                    (31, 100)])
+def test_resample2_matmul_equivalence(taps, n):
+    """The TPU path (fused polyphase Toeplitz GEMM, no strided slices) is
+    sample-exact against the polyphase FIR path for both directions."""
+    from convopeq_tpu.ops.oversample import (_resample2_matmul,
+                                             _stage_full_response)
+    st = design_halfband(taps, 110.0)
+    x = RNG.normal(size=(2, n))
+    yu = np.asarray(_resample2_matmul(jnp.asarray(x),
+                                      _stage_full_response(st, True), True))
+    np.testing.assert_allclose(yu, np.asarray(upsample2(jnp.asarray(x), st)),
+                               atol=1e-13)
+    u = RNG.normal(size=(2, 2 * n))
+    yd = np.asarray(_resample2_matmul(jnp.asarray(u),
+                                      _stage_full_response(st, False), False))
+    np.testing.assert_allclose(yd, np.asarray(downsample2(jnp.asarray(u), st)),
+                               atol=1e-13)
+
+
 def test_reference_updown_dc_gain_quirk():
     """The reference's up->down round trip has DC gain 0.75 (center phase
     is 0.5x, not doubled) — pinned here as a parity contract."""
