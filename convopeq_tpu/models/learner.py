@@ -8,15 +8,16 @@ cost, driving a 9-dim CMA-ES (population 18, elite 6) in unconstrained
 6 modes = 180 banks (ARCHITECTURE.md:41-42).
 
 SpectralEvaluator transcribes the evaluator's structure
-(MklFftEvaluator.h:140-400): 4096-point FFT of the stereo error,
+(MklFftEvaluator.h:140-800): 4096-point FFT of the stereo error,
 A-weighting-squared band weights with a -12 dB/oct rolloff above 18 kHz,
-absolute-threshold-of-hearing floor (Terhardt form, ref 90 dB SPL), JND
-weighting, softplus + tanh-capped over-threshold power, and the
-flatness / ultra-high-share / tonal penalties combined into
-compositeScore.  (The reference additionally runs a tonal/noise-masker
-spreading model before thresholding; this rebuild currently thresholds at
-the ATH floor only — the dominant term for dither-level signals — and the
-masking spread is noted as a refinement.)
+the full masking model — tonal-masker detection (7 dB local peaks over
+the critical-band neighbor range, +-0.5 bark energy absorption), per-bark
+noise maskers with SFM-derived tonality, Schroeder-style spreading
+(-27 dB/bark up, -24/-27 down, +-8 bark, 0.01-bark table quantization),
+power-summed masking energy floored at the Terhardt ATH (ref 90 dB SPL),
+optional signal-segment masking thresholds — then JND weighting,
+softplus + tanh-capped over-threshold power, and the flatness /
+ultra-high-share / tonal penalties combined into compositeScore.
 
 Offline/worker-side NumPy (the reference runs it on a worker thread); the
 shaper simulation itself reuses the JAX lattice kernel.
@@ -41,6 +42,18 @@ K_JND_MIN = 0.5
 K_JND_LOW_PEAK = 1.0
 K_JND_HIGH_SLOPE = 0.2
 K_JND_WEIGHT_CONST = 0.3
+
+# Masking model (MklFftEvaluator.h:430-453)
+K_BARK_BANDS = 24
+K_TONAL_PEAK_DB = 7.0
+K_NOISE_CORR_DB = -5.0
+K_TONAL_ABSORB_BARK = 0.5
+K_SPREAD_MAX_BARK = 8.0
+K_SPREAD_STEP = 0.01
+K_SPREAD_UP_DB = -27.0
+K_SPREAD_DOWN_TONAL_DB = -24.0
+K_SPREAD_DOWN_NOISE_DB = -27.0
+K_MAX_MASKERS = 128
 
 # Bank axes (ARCHITECTURE.md:41-42)
 BANK_SAMPLE_RATES = [44100.0, 48000.0, 88200.0, 96000.0, 176400.0,
@@ -91,6 +104,29 @@ def jnd_weight(f):
     jnd = np.clip(K_JND_MIN + K_JND_LOW_PEAK * np.exp(-0.5 * (fk - 0.5) ** 2)
                   + K_JND_HIGH_SLOPE * (fk - 3.0) ** 2, K_JND_MIN, 3.0)
     return 1.0 / np.maximum(1e-6, jnd + K_JND_WEIGHT_CONST)
+
+
+def freq_to_bark(f):
+    """freqToBark (MklFftEvaluator.h:558-562)."""
+    f = np.maximum(0.0, np.asarray(f, np.float64))
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _spread_db(delta_bark, tonal: np.ndarray):
+    """spreadingFunctionAnnexD (MklFftEvaluator.h:456-484, 602-611):
+    Schroeder-style spreading, table-quantized at 0.01 bark like the
+    reference's lookup; `tonal` selects the -24 (tonal) vs -27 (noise)
+    downward slope."""
+    d = np.round(np.asarray(delta_bark, np.float64) / K_SPREAD_STEP) \
+        * K_SPREAD_STEP
+    up = K_SPREAD_UP_DB * d
+    x = d + 0.474
+    nonlin = 15.81 + 7.5 * x - 17.5 * np.sqrt(1.0 + x * x)
+    down_slope = np.where(tonal, K_SPREAD_DOWN_TONAL_DB, K_SPREAD_DOWN_NOISE_DB)
+    down = nonlin + (down_slope + 27.0) * np.abs(d)
+    out = np.where(d >= 0.0, up, down)
+    return np.where(np.abs(d) > K_SPREAD_MAX_BARK + 0.5 * K_SPREAD_STEP,
+                    0.0, out)
 
 
 def _softplus(x):
@@ -145,7 +181,129 @@ class SpectralEvaluator:
         uh_bins = max(1, K_SPECTRUM_BINS - self.uh_bin)
         self.expected_uh_share = uh_bins / hb_bins
 
-    def evaluate(self, err_l: np.ndarray, err_r: np.ndarray) -> EvaluatorResult:
+        # --- masking-model tables (configureForSampleRate, h:214-239) ---
+        self.bark = freq_to_bark(f)
+        self.ath_power = 10.0 ** (self.ath_db / 10.0)
+        max_bark = freq_to_bark(nyq)
+        bark_step = max(1e-9, max_bark / K_BARK_BANDS)
+        self.bin_to_band = np.clip((self.bark / bark_step).astype(int),
+                                   0, K_BARK_BANDS - 1)
+        # neighborRangeBins (h:613-619): half the critical bandwidth in bins
+        fk = np.maximum(0.0, f / 1000.0)
+        bw = 25.0 + 75.0 * (1.0 + 1.4 * fk * fk) ** 0.69
+        self.neighbor_range = np.clip(
+            (bw / max(1.0, bin_width) * 0.5).astype(int), 1, 24)
+        # getBinWidth (h:621-628): centered difference, one-sided at edges
+        gw = np.empty(K_SPECTRUM_BINS)
+        gw[0] = f[1] - f[0]
+        gw[-1] = f[-1] - f[-2]
+        gw[1:-1] = 0.5 * (f[2:] - f[:-2])
+        self.bin_width_arr = gw
+
+    def _detect_tonal_maskers(self, p):
+        """detectTonalMaskersFixed (h:630-685): local peaks >= 7 dB above
+        every neighbor within the critical-band range; each absorbs the
+        energy within +-0.5 bark (+-8 bins) into a bark-centroid masker."""
+        db = 10.0 * np.log10(np.maximum(p, K_MIN_POWER))
+        nbins = K_SPECTRUM_BINS
+        is_peak = np.zeros(nbins, bool)
+        is_peak[3:nbins - 3] = True
+        for k in range(1, 25):
+            active = self.neighbor_range >= k
+            left = np.empty(nbins)
+            left[:k] = np.inf                    # no left neighbor -> pass
+            left[k:] = db[:-k]
+            right = np.empty(nbins)
+            right[-k:] = np.inf
+            right[:-k] = db[k:]
+            # reference checks (i-k)>=0 / (i+k)<bins; inf sentinels mean
+            # "neighbor absent = condition passes", but for i in [3, n-4]
+            # with k<=24 > i-k can be negative only for i<24: match exactly
+            ok = np.ones(nbins, bool)
+            has_l = np.arange(nbins) - k >= 0
+            has_r = np.arange(nbins) + k < nbins
+            ok &= ~has_l | (db - left >= K_TONAL_PEAK_DB)
+            ok &= ~has_r | (db - right >= K_TONAL_PEAK_DB)
+            is_peak &= ~active | ok
+        peaks = np.nonzero(is_peak)[0]
+
+        consumed = np.zeros(nbins, bool)
+        maskers = []
+        e_bw = p * self.bin_width_arr
+        for i in peaks[:K_MAX_MASKERS]:
+            lo = max(0, i - 8)
+            hi = min(nbins - 1, i + 8)
+            j = np.arange(lo, hi + 1)
+            sel = np.abs(self.bark[j] - self.bark[i]) <= K_TONAL_ABSORB_BARK
+            j = j[sel]
+            e = e_bw[j]
+            s = e.sum()
+            consumed[j] = True
+            if s <= K_MIN_POWER:
+                continue
+            maskers.append((s, float((self.bark[j] * e).sum() / s), True, 1.0))
+        return maskers, consumed
+
+    def _build_noise_maskers(self, p, consumed):
+        """buildNoiseMaskersFixed (h:712-746): one masker per bark band from
+        the unconsumed bins; tonality from the band's spectral flatness."""
+        maskers = []
+        e_bw = p * self.bin_width_arr
+        free = ~consumed
+        for band in range(K_BARK_BANDS):
+            sel = free & (self.bin_to_band == band)
+            if not sel.any():
+                continue
+            e = e_bw[sel]
+            s = e.sum()
+            if s <= K_MIN_POWER:
+                continue
+            pb = np.maximum(p[sel], 1e-15)
+            sfm = np.exp(np.mean(np.log(pb))) / max(np.mean(pb), 1e-15)
+            tonality = float(np.clip(-0.299 - 0.43 * np.log10(max(sfm, 1e-12)),
+                                     0.0, 1.0))
+            maskers.append((s, float((self.bark[sel] * e).sum() / s),
+                            False, tonality))
+        return maskers
+
+    def _masking_energy(self, maskers):
+        """computeMaskingEnergyStable (h:748-798): power-sum of all masker
+        contributions spread across bark distance, floored at the ATH."""
+        if not maskers:
+            return self.ath_power.copy()
+        energy = np.array([m[0] for m in maskers])
+        bark = np.array([m[1] for m in maskers])
+        tonal = np.array([m[2] for m in maskers])
+        tonality = np.array([m[3] for m in maskers])
+        level_db = 10.0 * np.log10(np.maximum(energy, K_MIN_POWER))
+        level_db = level_db + np.where(tonal, 0.0,
+                                       K_NOISE_CORR_DB * (1.0 - tonality))
+        delta = self.bark[:, None] - bark[None, :]          # (bins, M)
+        in_range = np.abs(delta) <= K_SPREAD_MAX_BARK
+        total_db = level_db[None, :] + _spread_db(delta, tonal[None, :])
+        contrib = np.where(in_range, 10.0 ** (total_db / 10.0), 0.0)
+        total = contrib.sum(axis=1)
+        return np.where(in_range.any(axis=1),
+                        np.maximum(total, self.ath_power), self.ath_power)
+
+    def signal_masking_thresholds(self, left, right):
+        """precomputeMaskingThresholds (NoiseShaperLearner.cpp:1377-1397):
+        per-bin threshold power masked by the SIGNAL segment itself,
+        max(ATH, binEnergy * 10^((-12 - 0.6*bark)/10))."""
+        el = np.asarray(left, np.float64)[:K_FFT_LENGTH]
+        er = np.asarray(right, np.float64)[:K_FFT_LENGTH]
+        if len(el) < K_FFT_LENGTH:
+            el = np.pad(el, (0, K_FFT_LENGTH - len(el)))
+            er = np.pad(er, (0, K_FFT_LENGTH - len(er)))
+        pl = np.abs(np.fft.rfft(el)) ** 2
+        pr = np.abs(np.fft.rfft(er)) ** 2
+        e = np.maximum(0.5 * (pl + pr), K_MIN_POWER)
+        spread = e * 10.0 ** ((-12.0 - 0.6 * self.bark) / 10.0)
+        return np.maximum(self.ath_power, spread)
+
+    def evaluate(self, err_l: np.ndarray, err_r: np.ndarray,
+                 masking_thresholds: np.ndarray | None = None) \
+            -> EvaluatorResult:
         el = np.asarray(err_l, np.float64)[:K_FFT_LENGTH]
         er = np.asarray(err_r, np.float64)[:K_FFT_LENGTH]
         if len(el) < K_FFT_LENGTH:
@@ -176,10 +334,21 @@ class SpectralEvaluator:
         peak_energy = peaks.max() if peaks.size else 0.0
         tonal_pen = max(0.0, peak_energy / (p.sum() + K_MIN_POWER) - 0.05) * 10.0
 
-        # psychoacoustic over-threshold power (ATH floor; the reference adds
-        # a masker spreading model on top)
+        # psychoacoustic over-threshold power: threshold = max(masking
+        # energy from the tonal/noise masker spreading model, ATH, optional
+        # precomputed signal-masking thresholds) (h:325-349)
+        tonal_m, consumed = self._detect_tonal_maskers(p)
+        noise_m = self._build_noise_maskers(p, consumed)
+        mask_energy = self._masking_energy(tonal_m + noise_m)
+        threshold_db = np.maximum(
+            10.0 * np.log10(np.maximum(mask_energy, K_MIN_POWER)),
+            self.ath_db)
+        if masking_thresholds is not None:
+            threshold_db = np.maximum(
+                threshold_db, 10.0 * np.log10(
+                    np.maximum(masking_thresholds, K_MIN_POWER)))
         signal_db = 10.0 * np.log10(p)
-        delta_db = signal_db - self.ath_db
+        delta_db = signal_db - threshold_db
         eff_db = K_EFFECTIVE_CAP_DB * np.tanh(_softplus(delta_db)
                                               / K_EFFECTIVE_CAP_DB)
         eff_power = np.maximum(0.0, 10.0 ** (eff_db / 10.0) - 1.0)
@@ -257,7 +426,11 @@ class NoiseShaperLearner:
             err = simulate_shaper_error(block[:, :K_FFT_LENGTH], k,
                                         self.sample_rate, self.bit_depth,
                                         uniforms=self._uniforms)
-            total += self.evaluator.evaluate(err[0], err[1]).composite_score
+            # the signal segment masks its own quantization error
+            # (precomputeMaskingThresholds, NoiseShaperLearner.cpp:1260-1261)
+            thr = self.evaluator.signal_masking_thresholds(block[0], block[1])
+            total += self.evaluator.evaluate(err[0], err[1],
+                                             thr).composite_score
         return total / len(TARGET_LEVELS)
 
     def feed(self, audio_lr: np.ndarray, generations: int = 1):

@@ -92,3 +92,62 @@ def test_learner_loop_machinery():
     assert st.best_score < zero_cost * 1.25, (st.best_score, zero_cost)
     assert np.all(np.abs(st.best_coefficients) < 1.0)
     assert st.bank_index == coefficient_bank_index(sr, 16, 0)
+
+
+def test_tonal_masker_detection():
+    """A bin-centered tone yields exactly one tonal masker at its bark
+    position (detectTonalMaskersFixed parity)."""
+    from convopeq_tpu.models.learner import (SpectralEvaluator, K_FFT_LENGTH,
+                                             freq_to_bark)
+    ev = SpectralEvaluator(48000.0)
+    n = K_FFT_LENGTH
+    f = 85 * (24000.0 / (n // 2))
+    tone = 0.5 * np.sin(2 * np.pi * f * np.arange(n) / 48000.0)
+    p = np.maximum(1e-24, np.abs(np.fft.rfft(tone)) ** 2)
+    maskers, consumed = ev._detect_tonal_maskers(p)
+    assert len(maskers) == 1
+    assert abs(maskers[0][1] - freq_to_bark(f)) < 1e-6
+    assert consumed[83:88].all()          # absorption window marked
+
+
+def test_noise_maskers_cover_bands():
+    """White noise produces one noise masker per occupied bark band with
+    tonality near 0 (flat spectrum)."""
+    from convopeq_tpu.models.learner import SpectralEvaluator, K_FFT_LENGTH
+    ev = SpectralEvaluator(48000.0)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=K_FFT_LENGTH)
+    p = np.maximum(1e-24, np.abs(np.fft.rfft(x)) ** 2)
+    tm, consumed = ev._detect_tonal_maskers(p)
+    nm = ev._build_noise_maskers(p, consumed)
+    assert len(nm) >= 20                  # nearly all 24 bands occupied
+    assert all(m[3] < 0.3 for m in nm)    # noise-like tonality
+
+
+def test_masking_raises_threshold_near_masker():
+    """Error energy next to a loud signal component scores lower than the
+    same energy in a quiet region (the point of the spreading model)."""
+    from convopeq_tpu.models.learner import SpectralEvaluator, K_FFT_LENGTH
+    ev = SpectralEvaluator(48000.0)
+    n = K_FFT_LENGTH
+    t = np.arange(n)
+    tone = 0.5 * np.sin(2 * np.pi * 996.09 * t / 48000.0)
+    thr = ev.signal_masking_thresholds(tone, tone)
+    near = 1e-4 * np.sin(2 * np.pi * 1100.0 * t / 48000.0)
+    far = 1e-4 * np.sin(2 * np.pi * 12000.0 * t / 48000.0)
+    s_near = ev.evaluate(near, near, thr).composite_score
+    s_far = ev.evaluate(far, far, thr).composite_score
+    assert s_near < s_far
+
+
+def test_spreading_function_shape():
+    """Spreading: steeper above the masker (-27 dB/bark) than the tonal
+    downward slope region; zero outside +-8 bark."""
+    from convopeq_tpu.models.learner import _spread_db
+    up = _spread_db(np.array([1.0]), np.array([True]))[0]
+    assert abs(up - (-27.0)) < 1e-9
+    out = _spread_db(np.array([9.0, -9.0]), np.array([True, True]))
+    assert (out == 0.0).all()
+    down1 = _spread_db(np.array([-1.0]), np.array([True]))[0]
+    down1n = _spread_db(np.array([-1.0]), np.array([False]))[0]
+    assert down1 > down1n                 # tonal decays slower downward
