@@ -36,7 +36,7 @@ from ..models.nuc import FilterSpec
 from ..utils.dsputil import next_pow2
 from ..utils.wavio import read_wav
 from .cache import LRUCache, MixedPhaseDiskCache, content_hash
-from .eq_analysis import estimate_max_gain_db, max_active_q
+from .eq_analysis import estimate_planner_gain_db, max_active_q
 
 # PhaseMode (src/ConvolverProcessor.h:117)
 PHASE_AS_IS, PHASE_MINIMUM, PHASE_MIXED = 0, 1, 2
@@ -99,11 +99,18 @@ def energy_scale(ir: np.ndarray) -> float:
     return (1.0 / np.sqrt(max_energy)) * ENERGY_SCALE_MARGIN
 
 
-def compute_ir_scale(ir: np.ndarray) -> float:
+def compute_ir_scale(ir: np.ndarray, current_ir: np.ndarray | None = None,
+                     current_scale: float = 1.0) -> float:
     """computeScaleFactor 3-stage orchestration (IRConverter.cpp:173-196):
     energy normalization (-6 dB margin) followed by clamp protection
     (applyClampProtection): effective peak <= 0.5, effective RMS <= 0.25,
-    frequency-response peak <= 1.41 (+3 dB)."""
+    frequency-response peak <= 1.41 (+3 dB).
+
+    When the previous IR is supplied, the current-IR jump protection
+    (IRConverter.cpp:124-168) additionally clamps the scale so the new
+    effective peak/RMS cannot exceed 4x the current one (and the absolute
+    0.5 / 0.25 floors) — guards against a sudden loudness jump when the
+    user swaps IRs."""
     ir = np.atleast_2d(np.asarray(ir, np.float64))
     scale = energy_scale(ir)
     if scale <= 0.0 or not np.isfinite(scale):
@@ -117,7 +124,38 @@ def compute_ir_scale(ir: np.ndarray) -> float:
     freq_peak = estimate_max_frequency_gain(ir * scale)
     if freq_peak > 1.41:
         scale *= 1.41 / freq_peak
+
+    if current_ir is not None:
+        cur = np.atleast_2d(np.asarray(current_ir, np.float64))
+        if cur.size:
+            cur_peak = float(np.abs(cur).max()) * abs(current_scale)
+            cur_rms = float(np.sqrt(np.mean(cur * cur))) * abs(current_scale)
+            scale *= jump_protection_clamp(peak * scale, rms * scale,
+                                           cur_peak, cur_rms)
     return scale
+
+
+def jump_protection_clamp(new_peak: float, new_rms: float,
+                          cur_peak: float, cur_rms: float) -> float:
+    """Current-IR jump protection ratio (IRConverter.cpp:148-168): 1.0
+    unless the new effective level exceeds BOTH 4x the current level and
+    the absolute floor (0.5 peak / 0.25 RMS).  Note the floors equal the
+    clamp-protection ceilings, so in the standard computeScaleFactor flow
+    this is a defensive backstop — it can only fire for scales computed
+    outside the clamped pipeline (matching the reference)."""
+    peak_jump = cur_peak > 1e-9 and new_peak > cur_peak * 4.0 \
+        and new_peak > 0.5
+    rms_jump = cur_rms > 1e-9 and new_rms > cur_rms * 4.0 and new_rms > 0.25
+    if not (peak_jump or rms_jump):
+        return 1.0
+    clamp = np.inf
+    if new_peak > 1e-12 and cur_peak > 1e-12:
+        clamp = min(clamp, cur_peak * 4.0 / new_peak)
+    if new_rms > 1e-12 and cur_rms > 1e-12:
+        clamp = min(clamp, cur_rms * 4.0 / new_rms)
+    if np.isfinite(clamp) and 0.0 < clamp < 1.0:
+        return float(clamp)
+    return 1.0
 
 
 def trim_ir(ir: np.ndarray, sample_rate: float, target_length: int):
@@ -248,8 +286,10 @@ class ConvoPeqEngine:
                 trimmed = np.stack(chans)
                 self._mp_cache.store(mp_key, trimmed)
 
-        # Analysis + energy scale with clamp protection
-        scale = compute_ir_scale(trimmed)
+        # Analysis + energy scale with clamp protection; the previously
+        # loaded (already-scaled) IR feeds the jump-protection clamp
+        prev = getattr(self, "_ir_prepared", None)
+        scale = compute_ir_scale(trimmed, current_ir=prev, current_scale=1.0)
         self._ir_peak_latency = estimate_peak_latency(trimmed)
         self._ir_freq_peak_db = ir_peak_gain_db(trimmed * scale)
         self._ir_scale = scale
@@ -322,8 +362,10 @@ class ConvoPeqEngine:
         os_factor = resolve_oversampling_factor(
             self.config.oversampling_factor, self.sample_rate)
         proc_rate = self.sample_rate * os_factor
+        # eqMaxGainDb = max(measured, upperBound) — the reference's
+        # 'Builder collapse' (AudioEngine.RebuildDispatch.cpp:694)
         inp = PlannerInput(
-            eq_max_gain_db=estimate_max_gain_db(self.eq_params, proc_rate),
+            eq_max_gain_db=estimate_planner_gain_db(self.eq_params, proc_rate),
             eq_max_q=max_active_q(self.eq_params),
             ir_freq_peak_gain_db=self._ir_freq_peak_db,
         )

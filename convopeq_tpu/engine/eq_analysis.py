@@ -91,6 +91,42 @@ def estimate_max_gain_db(params: EQParams, processing_rate: float,
     return float(max(best, 0.0))
 
 
+def estimate_upper_bound_db(params: EQParams, processing_rate: float,
+                            grid_points: int = 2048):
+    """Safe-side upper bound of the composite gain
+    (EQAnalysisMath::computeSampleResponse, h:42-80 + UpperBoundEstimator):
+    at each frequency, (20/ln10) * sum_i log1p(|H_i - 1|) over bands with
+    |H-1| > 1e-6 — an upper bound on |prod H_i| (serial) and |1 + sum
+    (H_i - 1)| (parallel) alike; the estimator takes the grid max with no
+    interpolation.  Returns (max_db, freq_hz)."""
+    active = band_active_mask(params)
+    if not np.any(active):
+        return 0.0, 0.0
+    fmax = min(20000.0 * 2.0, processing_rate * 0.5 * 0.999)
+    freqs = np.exp(np.linspace(np.log(10.0), np.log(fmax), grid_points))
+    coeffs = svf_coeffs(params.band_types, params.freqs, params.gains_db,
+                        params.qs, processing_rate)
+    log_bound = np.zeros(len(freqs))
+    for b in range(len(active)):
+        if not active[b]:
+            continue
+        bq = svf_to_biquad(*(float(c[b]) for c in coeffs))
+        delta = np.abs(biquad_response(bq, freqs, processing_rate) - 1.0)
+        use = np.isfinite(delta) & (delta > 1e-6)
+        log_bound += np.where(use, np.log1p(np.where(use, delta, 0.0)), 0.0)
+    ub_db = (20.0 / np.log(10.0)) * log_bound
+    i = int(np.argmax(ub_db))
+    return float(ub_db[i]), float(freqs[i])
+
+
+def estimate_planner_gain_db(params: EQParams, processing_rate: float) -> float:
+    """eqMaxGainDb as the planner receives it: max(measured, upperBound)
+    (AudioEngine.RebuildDispatch.cpp:694 'Builder collapse')."""
+    measured = estimate_max_gain_db(params, processing_rate)
+    upper, _ = estimate_upper_bound_db(params, processing_rate)
+    return max(measured, upper)
+
+
 def max_active_q(params: EQParams) -> float:
     """maxActiveQ over boosted active bands (BandHelper::collectActiveBands)."""
     active = band_active_mask(params)

@@ -223,3 +223,32 @@ def test_engine_progressive_upgrade():
     x = RNG.normal(size=(2, 4096)) * 0.2
     y = np.asarray(eng.process(jnp.asarray(x)))
     assert np.all(np.isfinite(y))
+
+
+def test_ir_jump_protection_clamps_scale():
+    """IRConverter current-IR jump protection (IRConverter.cpp:124-168):
+    the clamp ratio caps the new effective level at 4x the current one,
+    gated by the absolute floors (0.5 peak / 0.25 RMS) that make it a
+    backstop for scales computed outside the clamped pipeline."""
+    from convopeq_tpu.engine.engine import (compute_ir_scale,
+                                            jump_protection_clamp)
+    # fires: new peak 0.8 vs current 0.1 -> ratio 4*0.1/0.8 = 0.5
+    assert jump_protection_clamp(0.8, 0.1, 0.1, 0.05) == 0.5
+    # RMS-driven: new rms 0.4 vs current 0.05 -> 4*0.05/0.4 = 0.5
+    assert jump_protection_clamp(0.3, 0.4, 0.2, 0.05) == 0.5
+    # below the absolute floors: never fires even at >4x
+    assert jump_protection_clamp(0.4, 0.2, 0.01, 0.01) == 1.0
+    # no current level -> no clamp
+    assert jump_protection_clamp(0.8, 0.4, 0.0, 0.0) == 1.0
+    # within 4x -> no clamp
+    assert jump_protection_clamp(0.6, 0.3, 0.2, 0.1) == 1.0
+
+    # in the standard pipeline the peak/RMS ceilings keep effective levels
+    # at/below the floors, so a normal IR swap is never re-clamped
+    rng = np.random.default_rng(11)
+    quiet = rng.normal(size=(2, 2000)) * 1e-3
+    loud = rng.normal(size=(2, 2000)) * 0.5
+    free_scale = compute_ir_scale(loud)
+    assert compute_ir_scale(
+        loud, current_ir=quiet * compute_ir_scale(quiet),
+        current_scale=1.0) == free_scale

@@ -161,3 +161,30 @@ def test_eq_fft_rejects_saturation():
     # auto falls back to scan silently
     y = np.asarray(eq_process_bands(jnp.asarray(x), params, SR, method="auto"))
     assert np.all(np.isfinite(y))
+
+
+def test_upper_bound_dominates_measured():
+    """The log1p-sum upper bound is >= the measured composite max for any
+    band set (it bounds |prod H| and |1+sum(H-1)| alike), and the planner
+    input is their max (the reference's Builder collapse)."""
+    from convopeq_tpu.engine.eq_analysis import (
+        estimate_max_gain_db, estimate_upper_bound_db,
+        estimate_planner_gain_db)
+    p = EQParams()
+    p.enabled[:] = False
+    p.set_band(0, band_type=1, freq=1000.0, gain_db=6.0, q=2.0, enabled=True)
+    p.set_band(1, band_type=1, freq=1500.0, gain_db=4.0, q=1.0, enabled=True)
+    p.set_band(2, band_type=0, freq=100.0, gain_db=3.0, q=0.7, enabled=True)
+    measured = estimate_max_gain_db(p, 48000.0)
+    upper, f_ub = estimate_upper_bound_db(p, 48000.0)
+    assert upper >= measured - 0.05   # grid max vs interpolated peak
+    assert 10.0 < f_ub < 24000.0
+    assert estimate_planner_gain_db(p, 48000.0) == max(measured, upper)
+    # single peaking band: bound is tight at the peak (log1p(|H-1|)
+    # ~ log|H| when the band response dominates)
+    p2 = EQParams()
+    p2.enabled[:] = False
+    p2.set_band(0, band_type=1, freq=1000.0, gain_db=6.0, q=2.0, enabled=True)
+    m2 = estimate_max_gain_db(p2, 48000.0)
+    u2, _ = estimate_upper_bound_db(p2, 48000.0)
+    assert m2 - 0.05 <= u2 <= m2 + 1.5
