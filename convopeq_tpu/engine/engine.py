@@ -19,6 +19,7 @@ LoaderThread.cpp:392-413):
 from __future__ import annotations
 
 import json
+import threading
 from dataclasses import asdict, dataclass, field, replace
 
 import numpy as np
@@ -221,6 +222,8 @@ class ConvoPeqEngine:
         self._prepared_cache = LRUCache()
         self._chain_cache = LRUCache(max_entries=8)
         self._mp_cache = MixedPhaseDiskCache(mixed_phase_cache_dir)
+        self._ir_generation = 0          # bumped per distinct IR load
+        self._upgrade_lock = threading.RLock()
 
     # ------------------------------------------------------------------ IR
     def load_impulse_response(self, ir, ir_sample_rate=None,
@@ -234,6 +237,10 @@ class ConvoPeqEngine:
         ir = np.atleast_2d(np.asarray(ir, np.float64))
         if ir_sample_rate is None:
             ir_sample_rate = self.sample_rate
+        if self._ir_raw is None or self._ir_raw.shape != ir.shape \
+                or not np.array_equal(self._ir_raw, ir):
+            # a different IR invalidates in-flight progressive upgrades
+            self._ir_generation += 1
         if phase_mode is not None:
             self.phase_mode = phase_mode
         if target_seconds is not None:
@@ -461,16 +468,34 @@ class ConvoPeqEngine:
             self._streaming_key = self._chain_key()
         return sc.process(x, state)
 
-    def progressive_upgrade(self, target_block_size: int):
-        """ProgressiveUpgradeThread analog: re-prepare the convolver at a
-        larger engine block (bigger L0 partitions — lower per-block cost,
-        higher latency).  The reference steps FFT sizes up in a background
-        thread; here the rebuild is one call and the prepared-state cache
-        keeps both variants warm for crossfaded switchover."""
+    def progressive_upgrade(self, target_block_size: int,
+                            background: bool = False, on_step=None):
+        """ProgressiveUpgradeThread analog (ProgressiveUpgradeThread.cpp):
+        step the convolver block/partition size up through the reference's
+        ladder {1024, 2048, 4096} (filtered to (current, target]), each
+        step re-preparing via the prepared-state cache — lower per-block
+        cost, higher latency, crossfaded switchover per step.
+
+        background=True runs the ladder on a low-priority worker thread
+        (the reference's juce::Thread) that cancels itself if the engine
+        loads a different IR (generation check) or `cancel()` is called;
+        returns the started ProgressiveUpgrader.  Synchronous mode runs
+        the ladder inline and returns the engine."""
         if self._ir_raw is None:
             raise RuntimeError("no IR loaded")
-        self.block_size = int(target_block_size)
-        return self.load_impulse_response(self._ir_raw, self.sample_rate)
+        upgrader = ProgressiveUpgrader(self, int(target_block_size), on_step)
+        if background:
+            upgrader.start()
+            return upgrader
+        upgrader.run()
+        return self
+
+    def _upgrade_step(self, block_size: int):
+        """One publish: re-prepare the loaded IR at `block_size` (cache-hit
+        fast when warmed) and adopt it."""
+        with self._upgrade_lock:
+            self.block_size = int(block_size)
+            self.load_impulse_response(self._ir_raw, self.sample_rate)
 
     # ------------------------------------------------------------ state IO
     def save_state(self) -> str:
@@ -539,3 +564,43 @@ class ConvoPeqEngine:
         self.dither_type = st["dither_type"]
         self.dither_bit_depth = st["dither_bit_depth"]
         return self
+
+
+class ProgressiveUpgrader(threading.Thread):
+    """ProgressiveUpgradeThread analog (ProgressiveUpgradeThread.cpp):
+    steps the prepared convolver up through the reference's ladder
+    {1024, 2048, 4096} on a daemon worker, publishing each step via the
+    engine's prepared-state cache.  Each step validates the IR generation
+    (a new IR load cancels in-flight upgrades, cpp:60-64) and the
+    explicit cancel flag (cpp:53-57)."""
+
+    STEP_TABLE = (1024, 2048, 4096)
+
+    def __init__(self, engine: ConvoPeqEngine, target_block_size: int,
+                 on_step=None):
+        super().__init__(name="ConvolverProgressiveUpgrade", daemon=True)
+        self.engine = engine
+        self.on_step = on_step
+        self.steps = [s for s in self.STEP_TABLE
+                      if engine.block_size < s <= target_block_size]
+        self.generation = engine._ir_generation
+        self._cancelled = threading.Event()
+        self.completed_steps: list[int] = []
+
+    def cancel(self):
+        self._cancelled.set()
+
+    def _generation_valid(self) -> bool:
+        return (not self._cancelled.is_set()
+                and self.engine._ir_generation == self.generation)
+
+    def run(self):
+        for step in self.steps:
+            if not self._generation_valid():
+                return
+            self.engine._upgrade_step(step)
+            if not self._generation_valid():
+                return
+            self.completed_steps.append(step)
+            if self.on_step is not None:
+                self.on_step(step)

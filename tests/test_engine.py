@@ -252,3 +252,40 @@ def test_ir_jump_protection_clamps_scale():
     assert compute_ir_scale(
         loud, current_ir=quiet * compute_ir_scale(quiet),
         current_scale=1.0) == free_scale
+
+
+def test_progressive_upgrade_ladder():
+    """ProgressiveUpgradeThread analog: the ladder {1024,2048,4096} is
+    filtered to (current, target]; background mode publishes each step and
+    a new IR load (generation bump) cancels in-flight upgrades."""
+    import time
+    from convopeq_tpu.engine.engine import ConvoPeqEngine, ProgressiveUpgrader
+    rng = np.random.default_rng(5)
+    ir = rng.normal(size=(2, 4000)) * np.exp(-np.arange(4000) / 600.0) * 0.2
+    eng = ConvoPeqEngine(sample_rate=48000.0, block_size=512)
+    eng.load_impulse_response(ir, 48000.0)
+
+    seen = []
+    up = eng.progressive_upgrade(4096, background=True,
+                                 on_step=seen.append)
+    up.join(timeout=120)
+    assert not up.is_alive()
+    assert seen == [1024, 2048, 4096]
+    assert eng.block_size == 4096
+
+    # ladder filtering: target below the first step -> no steps
+    assert ProgressiveUpgrader(eng, 4096).steps == []
+    eng2 = ConvoPeqEngine(sample_rate=48000.0, block_size=512)
+    eng2.load_impulse_response(ir, 48000.0)
+    assert ProgressiveUpgrader(eng2, 2048).steps == [1024, 2048]
+
+    # generation check: a different IR load invalidates the upgrader
+    up2 = ProgressiveUpgrader(eng2, 4096)
+    eng2.load_impulse_response(ir * 0.5, 48000.0)
+    up2.run()
+    assert up2.completed_steps == []
+    # explicit cancel
+    up3 = ProgressiveUpgrader(eng2, 4096)
+    up3.cancel()
+    up3.run()
+    assert up3.completed_steps == []
