@@ -447,7 +447,9 @@ class ConvoPeqEngine:
 
     def streaming_chain(self):
         """Build the block-at-a-time serving chain for the current config
-        (runtime/streaming.py).  Base-rate only (no oversampling)."""
+        (runtime/streaming.py).  Oversampled configs run the convolver at
+        the processing rate, so the base-rate block is
+        plan.latency / os_factor."""
         from ..runtime.streaming import StreamingChain
         cfg = self._effective_config()
         eqp = self.eq_params if not cfg.eq_bypassed else None

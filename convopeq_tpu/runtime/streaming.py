@@ -159,50 +159,74 @@ class StreamState:
     direct_hist: tuple | None # ((..., K-1) per channel) or None
     sc_up_hist: jnp.ndarray | None   # (..., 2, H_up) soft-clip OS history
     sc_down_hist: jnp.ndarray | None # (..., 2, H_dn)
+    os_up_hists: tuple        # per-stage (..., 2, H) upsampler FIR history
+    os_down_hists: tuple      # per-stage (..., 2, H) decimator history
+    dc_os: jnp.ndarray | None # (..., 2, 2) oversampled-rate DC blockers
     step: jnp.ndarray
 
 
 jax.tree_util.register_pytree_node(
     StreamState,
     lambda s: ((s.dc_in, s.dc_out, s.eq_states, s.conv_layers, s.of_states,
-                s.direct_hist, s.sc_up_hist, s.sc_down_hist, s.step), None),
+                s.direct_hist, s.sc_up_hist, s.sc_down_hist, s.os_up_hists,
+                s.os_down_hists, s.dc_os, s.step), None),
     lambda _, c: StreamState(*c))
+
+
+def _stage_hist_sizes(st):
+    """History lengths for block-stateful upsample2/downsample2 of one
+    halfband stage: enough input past to make the causal FIRs exact."""
+    h_up = max(len(st.conv) - 1, st.center_delay)
+    h_dn = max(st.center_tap, st.conv_parity + 2 * (len(st.conv) - 1))
+    h_dn += h_dn % 2       # even: keeps the decimator grid aligned
+    return h_up, h_dn
 
 
 class StreamingChain:
     """Compiled block-at-a-time chain for a fixed config + prepared IR.
 
-    Supports: input headroom + DC blockers, 20-band EQ (scan path, all
-    channel modes, serial/parallel), stereo NUC convolution with wet/dry
-    mix and direct head, output filter, makeup gain, soft clip (memoryless
-    at base rate), output DC + headroom.  (Base-rate only — the
-    oversampled streaming wrap is an offline-path feature for now.)
+    Supports: input headroom + DC blockers, 2x/4x/8x oversampling
+    (stateful halfband cascades + oversampled-rate DC blockers), 20-band
+    EQ (scan path, all channel modes, serial/parallel), stereo NUC
+    convolution with wet/dry mix and direct head, output filter, makeup
+    gain, soft clip (at the oversampled rate when os > 1, local 2x wrap
+    at base rate), output DC + headroom.
+
+    Block contract: `step` consumes BASE-rate blocks of `block_size`
+    samples; internally the DSP runs at base * os_factor.  With a
+    convolver, its L0 partition (plan.latency) must equal
+    block_size * os_factor (the engine prepares it at the processing
+    rate for oversampled configs, like the reference's oversampled IR).
     """
 
     def __init__(self, cfg, eq_params: EQParams | None,
                  conv_state: NUCState | None = None,
                  conv_state_r: NUCState | None = None, dtype=jnp.float32):
-        if cfg.oversampling_factor > 1:
-            raise NotImplementedError(
-                "streaming path runs at base rate; use the offline chain "
-                "for oversampled configs")
+        from ..models.chain import resolve_oversampling_factor
+        from ..ops.oversample import make_stages
         self.cfg = cfg
         self.eq_params = eq_params
         self.left = conv_state
         self.right = conv_state_r if conv_state_r is not None else conv_state
         self.dtype = dtype
-        self.block_size = (conv_state.plan.latency if conv_state is not None
-                           else 512)
+        self.os_factor = resolve_oversampling_factor(
+            cfg.oversampling_factor, cfg.sample_rate)
+        self.os_stages = (make_stages(self.os_factor, cfg.oversampling_preset)
+                          if self.os_factor > 1 else [])
+        self._os_hists = tuple(_stage_hist_sizes(st) for st in self.os_stages)
+        internal_block = (conv_state.plan.latency if conv_state is not None
+                          else 512 * self.os_factor)
+        if internal_block % self.os_factor:
+            raise ValueError("convolver block must be divisible by the "
+                             "oversampling factor")
+        self.block_size = internal_block // self.os_factor  # base-rate block
         self._sc_stage = None
         self._sc_hists = (0, 0)
-        if cfg.soft_clip_enabled:
+        if cfg.soft_clip_enabled and self.os_factor == 1:
             from ..ops.oversample import design_halfband
             st = design_halfband(31, 90.0)   # prepareSingleStage (local 2x OS)
-            h_up = max(len(st.conv) - 1, st.center_delay)
-            h_dn = max(st.center_tap, st.conv_parity + 2 * (len(st.conv) - 1))
-            h_dn += h_dn % 2           # even: keeps the decimator grid aligned
             self._sc_stage = st
-            self._sc_hists = (h_up, h_dn)
+            self._sc_hists = _stage_hist_sizes(st)
         self._step = jax.jit(self._make_step())
 
     # ------------------------------------------------------------ state
@@ -221,10 +245,16 @@ class StreamingChain:
                 direct_hist = tuple(
                     jnp.zeros(batch_shape + (k - 1,), rdt) for _ in range(2))
         sc_up = sc_down = None
-        if self.cfg.soft_clip_enabled:
+        if self.cfg.soft_clip_enabled and self.os_factor == 1:
             h_up, h_dn = self._sc_hists
             sc_up = jnp.zeros(batch_shape + (2, h_up), rdt)
             sc_down = jnp.zeros(batch_shape + (2, h_dn), rdt)
+        os_up = tuple(jnp.zeros(batch_shape + (2, h[0]), rdt)
+                      for h in self._os_hists)
+        os_down = tuple(jnp.zeros(batch_shape + (2, h[1]), rdt)
+                        for h in self._os_hists)
+        dc_os = (jnp.zeros(batch_shape + (2, 2), rdt)
+                 if self.os_factor > 1 else None)
         return StreamState(
             dc_in=jnp.zeros(batch_shape + (2, 2), rdt),
             dc_out=jnp.zeros(batch_shape + (2, 2), rdt),
@@ -234,6 +264,9 @@ class StreamingChain:
             direct_hist=direct_hist,
             sc_up_hist=sc_up,
             sc_down_hist=sc_down,
+            os_up_hists=os_up,
+            os_down_hists=os_down,
+            dc_os=dc_os,
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -242,15 +275,18 @@ class StreamingChain:
         cfg = self.cfg
         eqp = self.eq_params
         sr = cfg.sample_rate
+        os_factor = self.os_factor
+        proc_rate = sr * os_factor
         dc_a = dc_blocker_alphas(sr, 3.0)
+        dc_os_a = dc_blocker_alphas(proc_rate, 1.0) if os_factor > 1 else None
         eq_active = (not cfg.eq_bypassed) and eqp is not None
         conv_active = (not cfg.conv_bypassed) and self.left is not None
         if eq_active:
             active = band_active_mask(eqp)
             coeffs = svf_coeffs(eqp.band_types, eqp.freqs, eqp.gains_db,
-                                eqp.qs, sr)
+                                eqp.qs, proc_rate)
             sat = float(eqp.saturation)
-        ofc = output_filter_coeffs(sr)
+        ofc = output_filter_coeffs(proc_rate)
         wet_g = float(equal_power_sin(min(cfg.wet_dry_mix, 1.0))) \
             * CONVOLUTION_HEADROOM_GAIN
         dry_g = float(equal_power_sin(1.0 - min(cfg.wet_dry_mix, 1.0)))
@@ -298,7 +334,8 @@ class StreamingChain:
                 for lstate, H, lp in zip(states, nuc.layer_spectra,
                                          nuc.plan.layers):
                     lstate, y = _layer_step(lstate, sig, H, lp,
-                                            self.block_size, lp.gain)
+                                            self.block_size * os_factor,
+                                            lp.gain)
                     wet = wet + y
                     ls.append(lstate)
                 new_layers.append(tuple(ls))
@@ -347,12 +384,40 @@ class StreamingChain:
                 chans[ch] = x
             return chans[0], chans[1], new_states
 
+        def os_up(x, hists):
+            """Stateful halfband cascade: exact block-wise upsample_up."""
+            from ..ops.oversample import upsample2
+            new_hists = []
+            for st, (h_up, _), hist in zip(self.os_stages, self._os_hists,
+                                           hists):
+                xext = jnp.concatenate([hist, x], axis=-1)
+                x = upsample2(xext, st)[..., 2 * h_up:]
+                new_hists.append(xext[..., -h_up:])
+            return x, tuple(new_hists)
+
+        def os_down(x, hists):
+            from ..ops.oversample import downsample2
+            new_hists = list(hists)
+            for i in range(len(self.os_stages) - 1, -1, -1):
+                st = self.os_stages[i]
+                h_dn = self._os_hists[i][1]
+                uext = jnp.concatenate([hists[i], x], axis=-1)
+                x = downsample2(uext, st)[..., h_dn // 2:]
+                new_hists[i] = uext[..., -h_dn:]
+            return x, tuple(new_hists)
+
         def step(state: StreamState, block):
             x = jnp.asarray(block, self.dtype)
             x = jnp.clip(jnp.where(jnp.isfinite(x), x, 0.0), -1.0, 1.0)
             if cfg.input_headroom_gain != 1.0:
                 x = x * cfg.input_headroom_gain
             x, dc_in = dc_pair(x, state.dc_in, dc_a)
+            os_up_hists = state.os_up_hists
+            os_down_hists = state.os_down_hists
+            dc_os = state.dc_os
+            if os_factor > 1:
+                x, os_up_hists = os_up(x, os_up_hists)
+                x, dc_os = dc_pair(x, state.dc_os, dc_os_a)
             L = x[..., 0, :]
             R = x[..., 1, :]
 
@@ -384,18 +449,25 @@ class StreamingChain:
             sc_up_hist = state.sc_up_hist
             sc_down_hist = state.sc_down_hist
             if cfg.soft_clip_enabled:
-                # local 2x OS wrap with FIR history carry (matches the
-                # offline chain's prepareSingleStage path exactly)
-                from ..ops.oversample import upsample2, downsample2
                 thr, knee, asym = soft_clip_params(cfg.saturation_amount)
-                h_up, h_dn = self._sc_hists
-                xext = jnp.concatenate([sc_up_hist, y], axis=-1)
-                u = upsample2(xext, self._sc_stage)[..., 2 * h_up:]
-                u = soft_clip(u, thr, knee, asym)
-                uext = jnp.concatenate([sc_down_hist, u], axis=-1)
-                y = downsample2(uext, self._sc_stage)[..., h_dn // 2:]
-                sc_up_hist = xext[..., -h_up:]
-                sc_down_hist = uext[..., -h_dn:]
+                if os_factor > 1:
+                    # already oversampled: clip directly (DSPCoreDouble
+                    # .cpp:471-501)
+                    y = soft_clip(y, thr, knee, asym)
+                else:
+                    # local 2x OS wrap with FIR history carry (matches the
+                    # offline chain's prepareSingleStage path exactly)
+                    from ..ops.oversample import upsample2, downsample2
+                    h_up, h_dn = self._sc_hists
+                    xext = jnp.concatenate([sc_up_hist, y], axis=-1)
+                    u = upsample2(xext, self._sc_stage)[..., 2 * h_up:]
+                    u = soft_clip(u, thr, knee, asym)
+                    uext = jnp.concatenate([sc_down_hist, u], axis=-1)
+                    y = downsample2(uext, self._sc_stage)[..., h_dn // 2:]
+                    sc_up_hist = xext[..., -h_up:]
+                    sc_down_hist = uext[..., -h_dn:]
+            if os_factor > 1:
+                y, os_down_hists = os_down(y, os_down_hists)
             y, dc_out = dc_pair(y, state.dc_out, dc_a)
             if cfg.apply_output_headroom:
                 y = y * K_OUTPUT_HEADROOM
@@ -404,6 +476,9 @@ class StreamingChain:
                                of_states=of_states, direct_hist=direct_hist,
                                sc_up_hist=sc_up_hist,
                                sc_down_hist=sc_down_hist,
+                               os_up_hists=os_up_hists,
+                               os_down_hists=os_down_hists,
+                               dc_os=dc_os,
                                step=state.step + 1), y
 
         return step

@@ -130,3 +130,35 @@ def test_streaming_state_continuity():
     y_cat = np.concatenate([np.asarray(y1), np.asarray(y2),
                             np.asarray(y_part)], axis=-1)
     np.testing.assert_allclose(y_cat, np.asarray(y_full), atol=1e-12)
+
+
+@pytest.mark.parametrize("os_req,sc_on", [(2, True), (4, False)])
+def test_streaming_oversampled_matches_offline(os_req, sc_on):
+    """Oversampled streaming (stateful halfband cascades + OS-rate DSP)
+    == the offline chain exactly (L0-only conv)."""
+    os_f = os_req
+    ir = RNG.normal(size=(2, 1500)) * np.exp(-np.arange(1500) / 300.0)
+    conv = stereo_prepare(jnp.asarray(ir), 512 * os_f,
+                          FilterSpec(sample_rate=SR * os_f,
+                                     tail_mode=TAIL_BYPASS),
+                          apply_spectrum_filter=False)
+    eqp = _params(3)
+    cfg = ChainConfig(sample_rate=SR, oversampling_factor=os_req,
+                      soft_clip_enabled=sc_on, saturation_amount=0.3,
+                      eq_method="scan")
+    x = RNG.normal(size=(2, 4096)) * 0.3
+
+    offline = np.asarray(process_chain(jnp.asarray(x), cfg, eqp, conv))
+    sc = StreamingChain(cfg, eqp, conv.left, conv.right, dtype=jnp.float64)
+    assert sc.block_size == 512
+    assert sc.os_factor == os_f
+    y, st = sc.process(jnp.asarray(x))
+    err = np.sqrt(np.mean((np.asarray(y) - offline) ** 2))
+    # blocked vs monolithic scans of the 1 Hz OS-rate DC blocker (pole at
+    # 1-6.5e-5) drift by ~1e-8 f64 roundoff; anything above 1e-7 is a bug
+    assert err < 1e-7, err
+    # state carries across calls: second half equals offline second half
+    y1, st1 = sc.process(jnp.asarray(x[..., :2048]))
+    y2, _ = sc.process(jnp.asarray(x[..., 2048:]), st1)
+    two = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    assert np.sqrt(np.mean((two - offline) ** 2)) < 1e-7
