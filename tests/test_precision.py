@@ -12,9 +12,12 @@ SR = 48000.0
 
 
 def _setup():
+    # self-seeded: the pinned regression values depend on these exact draws,
+    # so _setup must not share a generator with collection-time callers
+    rng = np.random.default_rng(99)
     n_ir = 6000
     t = np.arange(n_ir)
-    ir = RNG.normal(size=(2, n_ir)) * np.exp(-t / 800.0) * 0.3
+    ir = rng.normal(size=(2, n_ir)) * np.exp(-t / 800.0) * 0.3
     p = EQParams()
     p.enabled[:] = False
     for i, (bt, f, g, q, m) in enumerate([(0, 80, 3, 0.7, 0),
@@ -25,7 +28,7 @@ def _setup():
                    enabled=True)
     cfg = ChainConfig(sample_rate=SR, soft_clip_enabled=True,
                       saturation_amount=0.25, eq_method="scan")
-    x = RNG.normal(size=(2, 8192)) * 0.25
+    x = rng.normal(size=(2, 8192)) * 0.25
     return ir, p, cfg, x
 
 
@@ -88,3 +91,68 @@ def test_low_freq_biquad_f32_dispatch():
     # f64 keeps the fast 2x2 path and is exact to near-eps
     y64b, _ = biquad_df2t_scan(jnp.asarray(x), *c, method="2x2")
     assert np.allclose(np.asarray(y64), np.asarray(y64b))
+
+
+import pytest
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(b ** 2)))
+
+
+def _stage_cases():
+    """Per-stage f32-vs-f64 sweep (SURVEY §7.6 fidelity ladder): every DSP
+    stage individually tracks f64 within its conditioning-derived bound."""
+    from dataclasses import replace
+    from convopeq_tpu.models.eq import eq_process_bands
+    from convopeq_tpu.models.output_filter import output_filter_process
+    from convopeq_tpu.ops.dc_blocker import dc_block
+    from convopeq_tpu.ops.oversample import (make_stages, oversample_up,
+                                             oversample_down)
+    from convopeq_tpu.ops.softclip import soft_clip, soft_clip_params
+    from convopeq_tpu.ops.limiter import peak_limiter
+    from convopeq_tpu.models.metering import k_weight
+    from convopeq_tpu.models.convolver import stereo_prepare, convolver_process
+    from convopeq_tpu.models.nuc import FilterSpec
+
+    ir, p, cfg, x = _setup()
+    st2 = make_stages(2)
+    thr, knee, asym = soft_clip_params(0.3)
+
+    def conv_stage(v):
+        c = stereo_prepare(jnp.asarray(ir, v.dtype), 512,
+                           FilterSpec(sample_rate=SR))
+        return convolver_process(v, c, 1.0)
+
+    return [
+        # (name, fn(sig)->sig, tolerance)
+        ("eq_scan", lambda v: eq_process_bands(v, p, SR, method="scan"),
+         1e-5),
+        ("eq_fft", lambda v: eq_process_bands(v, p, SR, method="fft"),
+         1e-4),
+        ("conv_nuc", conv_stage, 1e-5),
+        ("dc_3hz", lambda v: dc_block(v, SR, 3.0)[0], 1e-5),
+        ("dc_1hz_96k", lambda v: dc_block(v, SR * 2, 1.0)[0], 1e-4),
+        # 18-20 Hz biquads: f32 floor is ~4e-4 regardless of realization
+        ("output_filter_conv_last",
+         lambda v: output_filter_process(v, SR, True), 2e-3),
+        ("output_filter_eq_last",
+         lambda v: output_filter_process(v, SR, False), 2e-3),
+        ("oversample_up2", lambda v: oversample_up(v, st2), 1e-5),
+        ("oversample_down2",
+         lambda v: oversample_down(jnp.concatenate([v, v], axis=-1), st2),
+         1e-5),
+        ("softclip", lambda v: soft_clip(v, thr, knee, asym), 1e-5),
+        ("limiter", lambda v: peak_limiter(v * 3.0, SR)[0], 1e-4),
+        ("k_weight", lambda v: k_weight(v, SR), 2e-3),
+    ]
+
+
+@pytest.mark.parametrize("case", _stage_cases(), ids=lambda c: c[0])
+def test_f32_stage_parity_sweep(case):
+    name, fn, tol = case
+    _, _, _, x = _setup()
+    y64 = np.asarray(fn(jnp.asarray(x)))
+    y32 = np.asarray(fn(jnp.asarray(x, jnp.float32)))
+    assert _rel(y32, y64) < tol, (name, _rel(y32, y64))
