@@ -370,13 +370,16 @@ def _agc_gain_target(env_in, env_out):
     return jnp.where(env_out < AGC_MIN_ENV, 1.0, target)
 
 
-def agc_apply(x_pre, x_post, sample_rate, block_size):
+def agc_apply(x_pre, x_post, sample_rate, block_size, state0=None,
+              return_state=False):
     """Block-rate AGC over the whole signal (processAGC semantics).
 
     x_pre:  EQ input (..., 2, N)  -> input RMS envelope source
     x_post: post-band signal (..., 2, N) -> output RMS + gain applied here.
     N must be a multiple of block_size (pad upstream).
-    Returns gain-ramped x_post.
+    Returns gain-ramped x_post; with return_state=True returns
+    (y, final_state) where state is (..., 3) [env_in, env_out, gain] —
+    the streaming runtime's carried AGC state (state0 resumes it).
     """
     x_pre = jnp.asarray(x_pre)
     x_post = jnp.asarray(x_post)
@@ -414,9 +417,14 @@ def agc_apply(x_pre, x_post, sample_rate, block_size):
         return (env_in, env_out, next_gain), (gain, next_gain)
 
     batch = in_rms.shape[:-1]
-    init = (jnp.zeros(batch, dt), jnp.zeros(batch, dt), jnp.ones(batch, dt))
+    if state0 is None:
+        init = (jnp.zeros(batch, dt), jnp.zeros(batch, dt),
+                jnp.ones(batch, dt))
+    else:
+        state0 = jnp.asarray(state0, dt)
+        init = (state0[..., 0], state0[..., 1], state0[..., 2])
     rms_seq = (jnp.moveaxis(in_rms, -1, 0), jnp.moveaxis(out_rms, -1, 0))
-    _, (g0, g1) = jax.lax.scan(step, init, rms_seq)        # (nb, ...)
+    carry, (g0, g1) = jax.lax.scan(step, init, rms_seq)    # (nb, ...)
     g0 = jnp.moveaxis(g0, 0, -1)                            # (..., nb)
     g1 = jnp.moveaxis(g1, 0, -1)
 
@@ -424,7 +432,10 @@ def agc_apply(x_pre, x_post, sample_rate, block_size):
     ramp = (jnp.arange(block_size, dtype=dt) / block_size)
     gains = g0[..., None] + (g1 - g0)[..., None] * ramp     # (..., nb, bs)
     gains = gains.reshape(gains.shape[:-2] + (n,))[..., None, :]  # (...,1,N)
-    return x_post * gains
+    y = x_post * gains
+    if return_state:
+        return y, jnp.stack(carry, axis=-1)
+    return y
 
 
 def eq_process(x, params: EQParams, sample_rate, block_size=512,

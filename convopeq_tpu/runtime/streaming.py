@@ -162,6 +162,7 @@ class StreamState:
     os_up_hists: tuple        # per-stage (..., 2, H) upsampler FIR history
     os_down_hists: tuple      # per-stage (..., 2, H) decimator history
     dc_os: jnp.ndarray | None # (..., 2, 2) oversampled-rate DC blockers
+    agc: jnp.ndarray | None   # (..., 3) [env_in, env_out, gain]
     step: jnp.ndarray
 
 
@@ -169,7 +170,7 @@ jax.tree_util.register_pytree_node(
     StreamState,
     lambda s: ((s.dc_in, s.dc_out, s.eq_states, s.conv_layers, s.of_states,
                 s.direct_hist, s.sc_up_hist, s.sc_down_hist, s.os_up_hists,
-                s.os_down_hists, s.dc_os, s.step), None),
+                s.os_down_hists, s.dc_os, s.agc, s.step), None),
     lambda _, c: StreamState(*c))
 
 
@@ -255,6 +256,11 @@ class StreamingChain:
                         for h in self._os_hists)
         dc_os = (jnp.zeros(batch_shape + (2, 2), rdt)
                  if self.os_factor > 1 else None)
+        agc = None
+        if self.eq_params is not None and self.eq_params.agc_enabled:
+            agc = jnp.concatenate(
+                [jnp.zeros(batch_shape + (2,), rdt),
+                 jnp.ones(batch_shape + (1,), rdt)], axis=-1)
         return StreamState(
             dc_in=jnp.zeros(batch_shape + (2, 2), rdt),
             dc_out=jnp.zeros(batch_shape + (2, 2), rdt),
@@ -267,6 +273,7 @@ class StreamingChain:
             os_up_hists=os_up,
             os_down_hists=os_down,
             dc_os=dc_os,
+            agc=agc,
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -300,7 +307,22 @@ class StreamingChain:
                 new_s.append(s)
             return jnp.stack(outs, axis=-2), jnp.stack(new_s, axis=-2)
 
-        def run_eq(L, R, eq_states):
+        agc_enabled = eq_active and eqp.agc_enabled
+        agc_block = int(cfg.agc_block_size) * os_factor
+
+        def run_eq(L, R, eq_states, agc_state):
+            if agc_enabled:
+                from ..models.eq import agc_apply
+                pre = jnp.stack([L, R], axis=-2)
+                L, R, eq_states = _run_bands(L, R, eq_states)
+                post = jnp.stack([L, R], axis=-2)
+                y, agc_state = agc_apply(pre, post, proc_rate, agc_block,
+                                         state0=agc_state, return_state=True)
+                return y[..., 0, :], y[..., 1, :], eq_states, agc_state
+            L, R, eq_states = _run_bands(L, R, eq_states)
+            return L, R, eq_states, agc_state
+
+        def _run_bands(L, R, eq_states):
             new_states = eq_states
             if eqp.structure == SERIAL:
                 for b in range(NUM_BANDS):
@@ -424,14 +446,17 @@ class StreamingChain:
             eq_states = state.eq_states
             conv_layers = state.conv_layers
             direct_hist = state.direct_hist
+            agc_state = state.agc
             if cfg.order == CONVOLVER_THEN_EQ:
                 if conv_active:
                     L, R, conv_layers, direct_hist = run_conv(L, R, state)
                 if eq_active:
-                    L, R, eq_states = run_eq(L, R, eq_states)
+                    L, R, eq_states, agc_state = run_eq(L, R, eq_states,
+                                                        agc_state)
             else:
                 if eq_active:
-                    L, R, eq_states = run_eq(L, R, eq_states)
+                    L, R, eq_states, agc_state = run_eq(L, R, eq_states,
+                                                        agc_state)
                 if conv_active:
                     if abs(cfg.convolver_input_trim_gain - 1.0) > 1e-12:
                         L = L * cfg.convolver_input_trim_gain
@@ -479,6 +504,7 @@ class StreamingChain:
                                os_up_hists=os_up_hists,
                                os_down_hists=os_down_hists,
                                dc_os=dc_os,
+                               agc=agc_state,
                                step=state.step + 1), y
 
         return step

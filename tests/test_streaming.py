@@ -162,3 +162,23 @@ def test_streaming_oversampled_matches_offline(os_req, sc_on):
     y2, _ = sc.process(jnp.asarray(x[..., 2048:]), st1)
     two = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
     assert np.sqrt(np.mean((two - offline) ** 2)) < 1e-7
+
+
+def test_streaming_agc_matches_offline():
+    """AGC state (env_in, env_out, gain) carries across streaming blocks
+    and reproduces the offline block-rate AGC exactly."""
+    ir = RNG.normal(size=(2, 2000)) * np.exp(-np.arange(2000) / 400.0)
+    conv = stereo_prepare(jnp.asarray(ir), 512,
+                          FilterSpec(sample_rate=SR, tail_mode=TAIL_BYPASS),
+                          apply_spectrum_filter=False)
+    eqp = _params(3)
+    eqp.agc_enabled = True
+    cfg = ChainConfig(sample_rate=SR, eq_method="scan", agc_block_size=512)
+    x = RNG.normal(size=(2, 4096)) * 0.4
+
+    offline = np.asarray(process_chain(jnp.asarray(x), cfg, eqp, conv))
+    sc = StreamingChain(cfg, eqp, conv.left, conv.right, dtype=jnp.float64)
+    y, st = sc.process(jnp.asarray(x))
+    err = np.sqrt(np.mean((np.asarray(y) - offline) ** 2))
+    assert err < 1e-9, err
+    assert st.agc is not None and st.agc.shape[-1] == 3
