@@ -24,6 +24,15 @@ class WavData:
 
 
 def read_wav(path) -> WavData:
+    # Fast path: the native C++ parser/decoder (utils/native.py); the pure
+    # NumPy parser below is the fallback and the behavioral reference
+    # (tests/test_native.py pins them equal).
+    try:
+        from .native import read_wav_native
+        samples, sr = read_wav_native(path)
+        return WavData(samples=samples, sample_rate=sr)
+    except Exception:
+        pass
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
