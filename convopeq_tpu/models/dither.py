@@ -289,9 +289,10 @@ def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
         return x * headroom
     x = jnp.asarray(x)
     dt = x.dtype
-    k = np.clip(np.nan_to_num(np.asarray(reflection_coeffs, np.float64)),
-                -LATTICE_COEFF_LIMIT, LATTICE_COEFF_LIMIT)
-    k = jnp.asarray(k, dt)
+    # jnp (not np) coercion so reflection_coeffs may be a traced array —
+    # the learner vmaps candidates through this kernel
+    k = jnp.clip(jnp.nan_to_num(jnp.asarray(reflection_coeffs, dt)),
+                 -LATTICE_COEFF_LIMIT, LATTICE_COEFF_LIMIT)
     order = k.shape[0]
     scale, inv_scale = quant_scales(bit_depth)
     u = jnp.asarray(uniforms, dt)

@@ -367,6 +367,40 @@ class SpectralEvaluator:
         return res
 
 
+_POP_SIM_CACHE: dict = {}
+
+
+def _pop_sim_fn(bit_depth: int):
+    fn = _POP_SIM_CACHE.get(bit_depth)
+    if fn is None:
+        import jax
+
+        def run(K, x, u):
+            return jax.vmap(lambda k: lattice_dither(x, u, k, bit_depth))(K)
+
+        fn = jax.jit(run)
+        _POP_SIM_CACHE[bit_depth] = fn
+    return fn
+
+
+def simulate_shaper_error_population(audio_levels: np.ndarray,
+                                     coeff_matrix: np.ndarray,
+                                     bit_depth: int,
+                                     uniforms: np.ndarray) -> np.ndarray:
+    """Quantization error of the lattice shaper for a whole CMA-ES
+    population at once: ONE vmapped JAX call over candidates evaluates
+    every (candidate, level) pair — the TPU-native replacement for the
+    reference's evaluationWorkers thread pool (NoiseShaperLearner.h).
+
+    audio_levels: (L, 2, N) leveled blocks; coeff_matrix: (P, order);
+    uniforms: (L, 2, N, 2).  Returns (P, L, 2, N) errors."""
+    import jax.numpy as jnp
+    run = _pop_sim_fn(int(bit_depth))
+    y = np.asarray(run(jnp.asarray(np.asarray(coeff_matrix, np.float64)),
+                       jnp.asarray(audio_levels), jnp.asarray(uniforms)))
+    return y - np.asarray(audio_levels)[None] * K_OUTPUT_HEADROOM
+
+
 def simulate_shaper_error(audio_lr: np.ndarray, reflection_coeffs,
                           sample_rate: float, bit_depth: int,
                           rng: np.random.Generator | None = None,
@@ -399,10 +433,11 @@ class NoiseShaperLearner:
     CmaEsOptimizer.h:14-16: dim 9, population 18, elite 6)."""
 
     def __init__(self, sample_rate: float, bit_depth: int = 16, mode: int = 0,
-                 seed: int = 0):
+                 seed: int = 0, workers: int = 4):
         self.sample_rate = sample_rate
         self.bit_depth = bit_depth
         self.mode = mode
+        self.workers = max(1, int(workers))
         self.evaluator = SpectralEvaluator(sample_rate)
         self.opt = CmaEs(NS_ORDER_LATTICE, population=18, elite=6,
                          params=CmaEsParams(sigma_min=0.03, sigma_max=0.30),
@@ -433,12 +468,41 @@ class NoiseShaperLearner:
                                              thr).composite_score
         return total / len(TARGET_LEVELS)
 
+    def _population_costs(self, cands, audio_lr):
+        """Score a whole population: one vmapped JAX simulation for every
+        (candidate, level) pair, then the spectral evaluator on a worker
+        pool (the reference's evaluationWorkers analog)."""
+        from concurrent.futures import ThreadPoolExecutor
+        K = np.stack([CmaEs.to_parcor(c) for c in cands])
+        rms = np.sqrt(np.mean(audio_lr ** 2)) + 1e-12
+        blocks = np.stack([audio_lr[:, :K_FFT_LENGTH] * (lvl / rms)
+                           for lvl in TARGET_LEVELS])        # (L, 2, N)
+        if self._uniforms is None or \
+                self._uniforms.shape[:2] != (2, K_FFT_LENGTH):
+            self._uniforms = self.rng.uniform(size=(2, K_FFT_LENGTH, 2))
+        u = np.broadcast_to(self._uniforms[None],
+                            blocks.shape + (2,))
+        errs = simulate_shaper_error_population(blocks, K, self.bit_depth, u)
+        thresholds = [self.evaluator.signal_masking_thresholds(b[0], b[1])
+                      for b in blocks]
+
+        def score(p):
+            tot = 0.0
+            for li in range(len(TARGET_LEVELS)):
+                tot += self.evaluator.evaluate(
+                    errs[p, li, 0], errs[p, li, 1],
+                    thresholds[li]).composite_score
+            return tot / len(TARGET_LEVELS)
+
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            return np.array(list(ex.map(score, range(len(cands)))))
+
     def feed(self, audio_lr: np.ndarray, generations: int = 1):
         """Run CMA-ES generations on a captured stereo block (2, >=4096)."""
         audio_lr = np.asarray(audio_lr, np.float64)
         for _ in range(generations):
             cands = self.opt.sample()
-            fits = np.array([self._cost(c, audio_lr) for c in cands])
+            fits = self._population_costs(cands, audio_lr)
             i = int(np.argmin(fits))
             if fits[i] < self.best_score:
                 self.best_score = float(fits[i])
