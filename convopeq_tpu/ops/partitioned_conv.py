@@ -76,6 +76,126 @@ def _causal_frame_mac(X, H):
     return jax.lax.complex(Yr, Yi)
 
 
+_RDFT_MAT_CACHE: dict = {}
+
+
+def _rdft_mats(p: int, dtype):
+    """Host-built real-DFT GEMM operands for frame size 2p.
+
+    Forward: X = osa @ (Ct + i St), Ct/St (2p, p+1).
+    Inverse (valid half only): y[p + n] = Yr @ Gr + Yi @ Gi, Gr/Gi
+    (p+1, p) — the standard irfft synthesis restricted to the second half
+    of the frame (overlap-save discards the first half, so computing it
+    would be wasted MXU work).
+    """
+    import numpy as np
+    key = p
+    mats = _RDFT_MAT_CACHE.get(key)
+    if mats is None:
+        n2 = 2 * p
+        k = np.arange(n2)[:, None]
+        b = np.arange(p + 1)[None, :]
+        ang = -2.0 * np.pi * k * b / n2
+        Ct = np.cos(ang)
+        St = np.sin(ang)
+        w = np.full(p + 1, 2.0 / n2)
+        w[0] = 1.0 / n2
+        w[-1] = 1.0 / n2
+        nn = (np.arange(p) + p)[None, :]
+        bang = 2.0 * np.pi * b.T * nn / n2           # (p+1, p)
+        Gr = np.cos(bang) * w[:, None]
+        Gi = -np.sin(bang) * w[:, None]
+        mats = (Ct, St, Gr, Gi)                      # host np: jit-safe cache
+        _RDFT_MAT_CACHE[key] = mats
+    return tuple(jnp.asarray(m, dtype) for m in mats)
+
+
+def _rfft_matmul(osa, p: int):
+    """rfft of (..., 2p) frames as two GEMMs (MXU path)."""
+    Ct, St, _, _ = _rdft_mats(p, osa.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(osa, Ct, precision=hi),
+            jnp.matmul(osa, St, precision=hi))
+
+
+def _irfft_valid_matmul(Yr, Yi, p: int):
+    """Valid (second) half of irfft(Y, n=2p) as two GEMMs."""
+    _, _, Gr, Gi = _rdft_mats(p, Yr.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(Yr, Gr, precision=hi)
+            + jnp.matmul(Yi, Gi, precision=hi))
+
+
+# Largest partition size routed through the GEMM DFT on TPU: flops grow
+# like p^2 per frame (vs p log p for FFT) and the synthesis matrices grow
+# like p^2 in memory, so big tail partitions stay on the FFT.
+RDFT_MATMUL_MAX_P = 1024
+
+
+def _mac_matmul_ri(Xr, Xi, Hr, Hi, chunk: int = 128):
+    """Split-real banded block-Toeplitz GEMM frame MAC: with chunk >= P
+    the causal band spans at most two frame-chunks, so per bin
+    Y_chunk = X_chunk @ T0^T + X_prevchunk @ T1^T with
+    T0[b, i, j] = H[i-j, b], T1[b, i, j] = H[i-j+chunk, b].  The GEMMs
+    run on the MXU; the grouped-conv form lowers to per-bin loops.
+
+    Xr/Xi: (..., K, B); Hr/Hi: (P, B).  Returns (Yr, Yi) (..., K, B).
+    """
+    import numpy as np
+    K = Xr.shape[-2]
+    P = Hr.shape[0]
+    B = Hr.shape[1]
+    batch = Xr.shape[:-2]
+    chunk = max(chunk, 1 << int(np.ceil(np.log2(max(P, 2)))))
+    nc = -(-K // chunk)
+    kpad = nc * chunk - K
+
+    def prep(x):                                # (..., K, B) -> (F, B, nc, c)
+        x = jnp.moveaxis(x, -1, -2)             # (..., B, K)
+        if kpad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, kpad)])
+        return x.reshape((-1, B, nc, chunk))
+
+    Xr = prep(Xr)
+    Xi = prep(Xi)
+    zeros = jnp.zeros(Xr.shape[:-2] + (1, chunk), Xr.dtype)
+    Xr_p = jnp.concatenate([zeros, Xr[..., :-1, :]], axis=-2)
+    Xi_p = jnp.concatenate([zeros, Xi[..., :-1, :]], axis=-2)
+
+    d = np.subtract.outer(np.arange(chunk), np.arange(chunk))
+    idx0 = jnp.asarray(np.clip(d, 0, P - 1))
+    m0 = jnp.asarray((d >= 0) & (d < P), Xr.dtype)
+    dp = d + chunk
+    idx1 = jnp.asarray(np.clip(dp, 0, P - 1))
+    m1 = jnp.asarray((dp >= 0) & (dp < P), Xr.dtype)
+    Hr = jnp.asarray(Hr, Xr.dtype)
+    Hi = jnp.asarray(Hi, Xr.dtype)
+    # T[b, i, j]: take along the partition axis, bins batched
+    t = lambda Ha, idx, m: jnp.moveaxis(jnp.take(Ha, idx, axis=0)
+                                        * m[..., None], -1, 0)
+    T0r, T0i = t(Hr, idx0, m0), t(Hi, idx0, m0)
+    T1r, T1i = t(Hr, idx1, m1), t(Hi, idx1, m1)
+
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, T: jnp.einsum("fbnj,bij->fbni", x, T, precision=hi)
+    Yr = mm(Xr, T0r) - mm(Xi, T0i) + mm(Xr_p, T1r) - mm(Xi_p, T1i)
+    Yi = mm(Xr, T0i) + mm(Xi, T0r) + mm(Xr_p, T1i) + mm(Xi_p, T1r)
+
+    def unprep(y):                              # (F, B, nc, c) -> (..., K, B)
+        y = y.reshape((-1, B, nc * chunk))[..., :K]
+        return jnp.moveaxis(y, -2, -1).reshape(batch + (K, B))
+
+    return unprep(Yr), unprep(Yi)
+
+
+def _causal_frame_mac_matmul(X, H, chunk: int = 128):
+    """Complex wrapper over `_mac_matmul_ri` (same contract as
+    `_causal_frame_mac`)."""
+    Yr, Yi = _mac_matmul_ri(jnp.real(X), jnp.imag(X),
+                            jnp.real(H), jnp.imag(H), chunk)
+    return jax.lax.complex(Yr, Yi)
+
+
 def _causal_frame_mac_fft(X, H):
     """Same contract as `_causal_frame_mac`, via FFT along the frame axis.
 
@@ -119,19 +239,36 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         [jnp.zeros(frames.shape[:-2] + (1, p), x.dtype), frames[..., :-1, :]],
         axis=-2)
     osa = jnp.concatenate([prev, frames], axis=-1)        # (..., K, 2P)
-    X = jnp.fft.rfft(osa, axis=-1)                        # (..., K, P+1)
     H = jnp.asarray(Hparts)
     if frame_mac == "auto":
         # CPU always takes the frame-FFT form: XLA CPU's Eigen conv kernel
         # has an OOB-read bug that segfaults inside large fused graphs.
-        # On TPU the depthwise-conv MAC measures faster at every layer
-        # size (no pow2 frame padding) — see PROGRESS notes.
-        frame_mac = "fft" if jax.default_backend() == "cpu" else "conv"
-    if frame_mac == "fft":
-        Y = _causal_frame_mac_fft(X, H)
+        # On TPU small partitions go through the full-GEMM pipeline (real
+        # DFT + banded-Toeplitz MAC + valid-half synthesis, all MXU — the
+        # VPU FFT is the bottleneck at these sizes); large tail partitions
+        # keep the FFT + GEMM MAC.
+        if jax.default_backend() == "cpu":
+            frame_mac = "fft"
+        elif p <= RDFT_MATMUL_MAX_P:
+            frame_mac = "rdft"
+        else:
+            # the GEMM MAC's Toeplitz operands scale with bins*chunk^2 —
+            # prohibitive at tail-partition sizes; the depthwise conv is
+            # fine there (few frames)
+            frame_mac = "conv"
+    if frame_mac == "rdft":
+        Xr, Xi = _rfft_matmul(osa, p)
+        Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))
+        y = _irfft_valid_matmul(Yr, Yi, p)
     else:
-        Y = _causal_frame_mac(X, H)
-    y = jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]       # valid half
+        X = jnp.fft.rfft(osa, axis=-1)                    # (..., K, P+1)
+        if frame_mac == "fft":
+            Y = _causal_frame_mac_fft(X, H)
+        elif frame_mac == "matmul":
+            Y = _causal_frame_mac_matmul(X, H)
+        else:
+            Y = _causal_frame_mac(X, H)
+        y = jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]   # valid half
     y = y.reshape(x.shape[:-1] + (k * p,))
     return y[..., :n]
 

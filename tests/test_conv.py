@@ -212,3 +212,18 @@ def test_frame_mac_fft_matches_conv():
     y_fft = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H, P,
                                                 frame_mac="fft"))
     np.testing.assert_allclose(y_fft, y_conv, atol=1e-10)
+
+
+def test_frame_mac_rdft_matches_fft():
+    """The all-GEMM pipeline (real-DFT + banded-Toeplitz MAC + valid-half
+    synthesis) equals the FFT pipeline and the direct convolution."""
+    rng = np.random.default_rng(23)
+    for n, p, hl in [(10000, 512, 8192), (4096, 256, 300), (700, 64, 100)]:
+        x = rng.normal(size=(2, n))
+        h = rng.normal(size=hl) * 0.1
+        H = partition_spectra(jnp.asarray(h), p)
+        for mode in ("rdft", "matmul"):
+            y = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H, p,
+                                                    frame_mac=mode))
+            ref = np.stack([np.convolve(x[c], h)[:n] for c in range(2)])
+            np.testing.assert_allclose(y, ref, atol=1e-10, err_msg=mode)
