@@ -76,6 +76,12 @@ def _causal_frame_mac(X, H):
     return jax.lax.complex(Yr, Yi)
 
 
+# GEMM precision for the real-DFT/MAC pipeline.  Measured on v5e at the
+# 4x-oversampled shape: HIGHEST 3.0e-7 rel err / 91 ms; HIGH 2.7e-5 /
+# 77 ms; DEFAULT 3.8e-3 / 57 ms.  HIGHEST is the default — the 15% win
+# from HIGH is not worth 100x the error; f64 (CPU tests) is unaffected.
+RDFT_GEMM_PRECISION = jax.lax.Precision.HIGHEST
+
 _RDFT_MAT_CACHE: dict = {}
 
 
@@ -113,7 +119,7 @@ def _rdft_mats(p: int, dtype):
 def _rfft_matmul(osa, p: int):
     """rfft of (..., 2p) frames as two GEMMs (MXU path)."""
     Ct, St, _, _ = _rdft_mats(p, osa.dtype)
-    hi = jax.lax.Precision.HIGHEST
+    hi = RDFT_GEMM_PRECISION
     return (jnp.matmul(osa, Ct, precision=hi),
             jnp.matmul(osa, St, precision=hi))
 
@@ -121,7 +127,7 @@ def _rfft_matmul(osa, p: int):
 def _irfft_valid_matmul(Yr, Yi, p: int):
     """Valid (second) half of irfft(Y, n=2p) as two GEMMs."""
     _, _, Gr, Gi = _rdft_mats(p, Yr.dtype)
-    hi = jax.lax.Precision.HIGHEST
+    hi = RDFT_GEMM_PRECISION
     return (jnp.matmul(Yr, Gr, precision=hi)
             + jnp.matmul(Yi, Gi, precision=hi))
 
@@ -176,7 +182,7 @@ def _mac_matmul_ri(Xr, Xi, Hr, Hi, chunk: int = 128):
     T0r, T0i = t(Hr, idx0, m0), t(Hi, idx0, m0)
     T1r, T1i = t(Hr, idx1, m1), t(Hi, idx1, m1)
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = RDFT_GEMM_PRECISION
     mm = lambda x, T: jnp.einsum("fbnj,bij->fbni", x, T, precision=hi)
     Yr = mm(Xr, T0r) - mm(Xi, T0i) + mm(Xr_p, T1r) - mm(Xi_p, T1i)
     Yi = mm(Xr, T0i) + mm(Xi, T0r) + mm(Xr_p, T1i) + mm(Xi_p, T1r)
