@@ -94,8 +94,10 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
     proc_rate = sr * os_factor
 
     # 1. input stage: sanitize/limit (InputBitDepthTransform.h:32-100 —
-    # NaN -> 0, clamp +-1.0, denormal flush) then headroom + DC blockers
-    x = jnp.clip(jnp.where(jnp.isfinite(x), x, 0.0), -1.0, 1.0)
+    # NaN -> 0, |x| < 1e-20 denormal flush, clamp +-1.0) then headroom +
+    # DC blockers
+    x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+    x = jnp.clip(x, -1.0, 1.0)
     if cfg.input_headroom_gain != 1.0:
         x = x * cfg.input_headroom_gain
     x, _ = dc_block(x, sr, 3.0)

@@ -430,7 +430,8 @@ class StreamingChain:
 
         def step(state: StreamState, block):
             x = jnp.asarray(block, self.dtype)
-            x = jnp.clip(jnp.where(jnp.isfinite(x), x, 0.0), -1.0, 1.0)
+            x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+            x = jnp.clip(x, -1.0, 1.0)
             if cfg.input_headroom_gain != 1.0:
                 x = x * cfg.input_headroom_gain
             x, dc_in = dc_pair(x, state.dc_in, dc_a)

@@ -70,6 +70,15 @@ def load():
     lib.cq_ring_pop.restype = u64
     lib.cq_ring_pop.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_double), u64]
+    lib.cq_mpsc_create.restype = ctypes.c_void_p
+    lib.cq_mpsc_create.argtypes = [u64, u64]
+    lib.cq_mpsc_destroy.argtypes = [ctypes.c_void_p]
+    lib.cq_mpsc_push.restype = ctypes.c_int
+    lib.cq_mpsc_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.cq_mpsc_pop.restype = ctypes.c_int
+    lib.cq_mpsc_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.cq_mpsc_size_approx.restype = u64
+    lib.cq_mpsc_size_approx.argtypes = [ctypes.c_void_p]
     lib.cq_deinterleave_f32_to_f64.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double),
         u64, u32, ctypes.c_double]
@@ -143,6 +152,41 @@ class NativeRing:
         if got != n:
             return None
         return out
+
+
+class NativeMpscRing:
+    """Bounded MPSC ring of fixed-size byte records (MpscBoundedRing analog:
+    Vyukov slots, multi-producer CAS push, single-consumer pop that never
+    skips a producer hole).  push/pop move `elem_size`-byte bytes objects."""
+
+    def __init__(self, capacity: int, elem_size: int):
+        self._lib = load()
+        self._h = self._lib.cq_mpsc_create(capacity, elem_size)
+        if not self._h:
+            raise ValueError("capacity must be a nonzero power of two")
+        self.capacity = capacity
+        self.elem_size = elem_size
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.cq_mpsc_destroy(self._h)
+            self._h = None
+
+    def push(self, record: bytes) -> bool:
+        if len(record) != self.elem_size:
+            raise ValueError(f"record must be exactly {self.elem_size} bytes")
+        buf = ctypes.create_string_buffer(record, self.elem_size)
+        return bool(self._lib.cq_mpsc_push(self._h, buf))
+
+    def pop(self) -> bytes | None:
+        buf = ctypes.create_string_buffer(self.elem_size)
+        if not self._lib.cq_mpsc_pop(self._h, buf):
+            return None
+        return buf.raw
+
+    @property
+    def size_approx(self) -> int:
+        return self._lib.cq_mpsc_size_approx(self._h)
 
 
 def deinterleave(interleaved_f32, channels: int, gain: float = 1.0):

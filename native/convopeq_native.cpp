@@ -241,4 +241,102 @@ uint64_t cq_ring_pop(void* rv, double* dst, uint64_t n) {
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Bounded MPSC ring (MpscBoundedRing.h analog): Vyukov bounded-queue slots
+// with per-slot sequence numbers; multi-producer push via CAS slot
+// reservation, single-consumer pop that refuses to skip a producer hole
+// (a reserved-but-unpublished slot) so ordering follows reservation order.
+// Fixed-size byte payloads.
+// ---------------------------------------------------------------------------
+
+struct CqMpsc {
+    uint8_t* entries;
+    std::atomic<uint32_t>* seqs;
+    uint64_t capacity;      // power of two
+    uint64_t mask;
+    uint64_t elem_size;
+    std::atomic<uint32_t> enqueue_pos;
+    std::atomic<uint32_t> dequeue_pos;
+};
+
+void* cq_mpsc_create(uint64_t capacity, uint64_t elem_size) {
+    if (capacity == 0 || (capacity & (capacity - 1)) != 0 || elem_size == 0)
+        return nullptr;
+    CqMpsc* q = new (std::nothrow) CqMpsc();
+    if (!q) return nullptr;
+    q->entries = (uint8_t*)cq_aligned_alloc(capacity * elem_size);
+    q->seqs = new (std::nothrow) std::atomic<uint32_t>[capacity];
+    if (!q->entries || !q->seqs) {
+        cq_aligned_free(q->entries);
+        delete[] q->seqs;
+        delete q;
+        return nullptr;
+    }
+    q->capacity = capacity;
+    q->mask = capacity - 1;
+    q->elem_size = elem_size;
+    for (uint64_t i = 0; i < capacity; ++i)
+        q->seqs[i].store((uint32_t)i, std::memory_order_release);
+    q->enqueue_pos.store(0, std::memory_order_relaxed);
+    q->dequeue_pos.store(0, std::memory_order_relaxed);
+    return q;
+}
+
+void cq_mpsc_destroy(void* qv) {
+    CqMpsc* q = (CqMpsc*)qv;
+    if (!q) return;
+    cq_aligned_free(q->entries);
+    delete[] q->seqs;
+    delete q;
+}
+
+// Multi-producer push; returns 1 on success, 0 when full (bounded, no drop).
+int cq_mpsc_push(void* qv, const void* item) {
+    CqMpsc* q = (CqMpsc*)qv;
+    uint32_t pos = q->enqueue_pos.load(std::memory_order_acquire);
+    for (;;) {
+        std::atomic<uint32_t>& seq_atom = q->seqs[pos & q->mask];
+        const uint32_t seq = seq_atom.load(std::memory_order_acquire);
+        const int32_t diff = (int32_t)(seq - pos);
+        if (diff == 0) {
+            if (q->enqueue_pos.compare_exchange_weak(
+                    pos, pos + 1, std::memory_order_acq_rel,
+                    std::memory_order_acquire)) {
+                memcpy(q->entries + (uint64_t)(pos & q->mask) * q->elem_size,
+                       item, q->elem_size);
+                seq_atom.store(pos + 1, std::memory_order_release);
+                return 1;
+            }
+            // CAS failure reloaded pos; retry
+        } else if (diff < 0) {
+            return 0;   // full
+        } else {
+            pos = q->enqueue_pos.load(std::memory_order_acquire);
+        }
+    }
+}
+
+// Single-consumer pop; returns 1 on success, 0 when empty or when the next
+// slot in reservation order is a producer hole (retry on the next poll).
+int cq_mpsc_pop(void* qv, void* item) {
+    CqMpsc* q = (CqMpsc*)qv;
+    const uint32_t pos = q->dequeue_pos.load(std::memory_order_acquire);
+    std::atomic<uint32_t>& seq_atom = q->seqs[pos & q->mask];
+    const uint32_t seq = seq_atom.load(std::memory_order_acquire);
+    if ((int32_t)(seq - (pos + 1)) != 0)
+        return 0;
+    memcpy(item, q->entries + (uint64_t)(pos & q->mask) * q->elem_size,
+           q->elem_size);
+    seq_atom.store(pos + (uint32_t)q->capacity, std::memory_order_release);
+    q->dequeue_pos.store(pos + 1, std::memory_order_release);
+    return 1;
+}
+
+uint64_t cq_mpsc_size_approx(void* qv) {
+    CqMpsc* q = (CqMpsc*)qv;
+    const uint32_t w = q->enqueue_pos.load(std::memory_order_acquire);
+    const uint32_t d = q->dequeue_pos.load(std::memory_order_acquire);
+    return (uint64_t)(uint32_t)(w - d);
+}
+
 }  // extern "C"

@@ -96,3 +96,59 @@ def test_framing_kernels():
     np.testing.assert_allclose(planar, ref, atol=1e-12)
     back = native.interleave(planar, gain=2.0)
     np.testing.assert_allclose(back, inter.clip(-1, 1), atol=1e-6)
+
+
+def test_mpsc_ring_basics():
+    """Bounded MPSC ring: fill to capacity, reject when full, FIFO pop."""
+    from convopeq_tpu.utils.native import NativeMpscRing
+    q = NativeMpscRing(8, 16)
+    recs = [i.to_bytes(4, "little") + bytes(12) for i in range(8)]
+    for r in recs:
+        assert q.push(r)
+    assert not q.push(recs[0])            # full, bounded — no drop
+    assert q.size_approx == 8
+    out = [q.pop() for _ in range(8)]
+    assert out == recs
+    assert q.pop() is None                # empty
+    with pytest.raises(ValueError):
+        q.push(b"short")
+    with pytest.raises(ValueError):
+        NativeMpscRing(6, 8)              # non power of two
+
+
+def test_mpsc_ring_multiproducer():
+    """Concurrent producers: every record arrives exactly once; the single
+    consumer sees per-producer FIFO order."""
+    import threading
+    from convopeq_tpu.utils.native import NativeMpscRing
+    q = NativeMpscRing(1024, 8)
+    n_per = 2000
+    n_prod = 4
+
+    def produce(pid):
+        for i in range(n_per):
+            rec = pid.to_bytes(4, "little") + i.to_bytes(4, "little")
+            while not q.push(rec):
+                pass
+
+    threads = [threading.Thread(target=produce, args=(p,))
+               for p in range(n_prod)]
+    for t in threads:
+        t.start()
+    got = []
+    while len(got) < n_per * n_prod:
+        r = q.pop()
+        if r is not None:
+            got.append(r)
+    for t in threads:
+        t.join()
+    assert q.pop() is None
+    # exactly-once delivery
+    assert len(set(got)) == n_per * n_prod
+    # per-producer FIFO
+    last = [-1] * n_prod
+    for r in got:
+        pid = int.from_bytes(r[:4], "little")
+        i = int.from_bytes(r[4:], "little")
+        assert i > last[pid]
+        last[pid] = i
