@@ -258,14 +258,21 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         elif p <= RDFT_MATMUL_MAX_P:
             frame_mac = "rdft"
         else:
-            # the GEMM MAC's Toeplitz operands scale with bins*chunk^2 —
-            # prohibitive at tail-partition sizes; the depthwise conv is
-            # fine there (few frames)
-            frame_mac = "conv"
+            # tail partitions: two-stage (Cooley-Tukey) GEMM transforms —
+            # the direct DFT's O(p^2) matrices don't scale, and the VPU
+            # FFT pair costs ~3x the frame MAC at these sizes.  The GEMM
+            # MAC's Toeplitz operands also scale with bins*chunk^2, so the
+            # MAC stays on the depthwise conv (few frames).
+            frame_mac = "gemmfft"
     if frame_mac == "rdft":
         Xr, Xi = _rfft_matmul(osa, p)
         Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))
         y = _irfft_valid_matmul(Yr, Yi, p)
+    elif frame_mac == "gemmfft":
+        from .gemm_fft import rfft_gemm, irfft_valid_gemm
+        Xr, Xi = rfft_gemm(osa, p)
+        Y = _causal_frame_mac(jax.lax.complex(Xr, Xi), H)
+        y = irfft_valid_gemm(jnp.real(Y), jnp.imag(Y), p)
     else:
         X = jnp.fft.rfft(osa, axis=-1)                    # (..., K, P+1)
         if frame_mac == "fft":

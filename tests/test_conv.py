@@ -222,7 +222,7 @@ def test_frame_mac_rdft_matches_fft():
         x = rng.normal(size=(2, n))
         h = rng.normal(size=hl) * 0.1
         H = partition_spectra(jnp.asarray(h), p)
-        for mode in ("rdft", "matmul"):
+        for mode in ("rdft", "matmul", "gemmfft"):
             y = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H, p,
                                                     frame_mac=mode))
             ref = np.stack([np.convolve(x[c], h)[:n] for c in range(2)])
