@@ -50,6 +50,46 @@ DEFAULT_CHUNK = 4096
 # 0.99 leaves margin.
 POLE_RADIUS_DIAG_F32 = 0.99
 
+# Pole radius below which an f32 biquad runs as a truncated-FIR GEMM:
+# with FIR_TAPS taps the truncation error is r^taps (< 1e-9 at r=0.85).
+POLE_RADIUS_FIR_F32 = 0.85
+BIQUAD_FIR_TAPS = 128
+
+
+def _biquad_pole_radius(a1: float, a2: float) -> float:
+    """Largest pole magnitude of z^2 + a1 z + a2."""
+    disc = a1 * a1 - 4.0 * a2
+    if disc < 0.0:
+        return float(np.sqrt(max(a2, 0.0)))
+    s = np.sqrt(disc)
+    return float(max(abs((-a1 + s) / 2.0), abs((-a1 - s) / 2.0)))
+
+
+def _biquad_fir_f32(x, b0, b1, b2, a1, a2):
+    """Low-radius biquad as a truncated-FIR banded-Toeplitz GEMM.
+
+    Impulse response computed exactly on host; truncation error r^taps is
+    below f32 eps for r <= POLE_RADIUS_FIR_F32.  Final TDF2 state is
+    reconstructed from the output tail (as in _biquad_scan_diag)."""
+    from .oversample import _fir_matmul
+    h = np.zeros(BIQUAD_FIR_TAPS)
+    z1 = z2 = 0.0
+    xi = 1.0
+    for k in range(BIQUAD_FIR_TAPS):
+        y = b0 * xi + z1
+        z1 = b1 * xi - a1 * y + z2
+        z2 = b2 * xi - a2 * y
+        h[k] = y
+        xi = 0.0
+    y = _fir_matmul(x, h)
+    xm1 = x[..., -1]
+    ym1 = y[..., -1]
+    xm2 = x[..., -2] if x.shape[-1] >= 2 else jnp.zeros_like(xm1)
+    ym2 = y[..., -2] if x.shape[-1] >= 2 else jnp.zeros_like(ym1)
+    z1f = b1 * xm1 - a1 * ym1 + (b2 * xm2 - a2 * ym2)
+    z2f = b2 * xm1 - a2 * ym1
+    return y, jnp.stack([z1f, z2f], axis=-1).astype(x.dtype)
+
 
 # In-chunk block size for the MXU (Toeplitz-matmul) scan backends.
 MATMUL_CHUNK = 128
@@ -267,9 +307,19 @@ def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None,
     scalar_coeffs = all(np.ndim(c) == 0 for c in (b0, b1, b2, a1, a2))
     if method == "auto":
         method = "2x2"
-        if (scalar_coeffs and dt != jnp.float64
-                and float(a2) > POLE_RADIUS_DIAG_F32 ** 2):
-            method = "diag"
+        if scalar_coeffs and dt != jnp.float64:
+            rmax = _biquad_pole_radius(float(a1), float(a2))
+            if rmax > POLE_RADIUS_DIAG_F32:
+                method = "diag"
+            elif s0 is None and rmax <= POLE_RADIUS_FIR_F32:
+                # fast-decaying poles: the truncated impulse response is
+                # exact to beyond f32 precision (r^128 < 1e-9), and the
+                # FIR runs as one banded-Toeplitz GEMM pass instead of a
+                # scan (ops.oversample._fir_matmul)
+                method = "fir"
+    if method == "fir" and scalar_coeffs and s0 is None:
+        return _biquad_fir_f32(x, float(b0), float(b1), float(b2),
+                               float(a1), float(a2))
     if method == "diag" and scalar_coeffs:
         return _biquad_scan_diag(x, float(b0), float(b1), float(b2),
                                  float(a1), float(a2), s0)

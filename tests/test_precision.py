@@ -156,3 +156,21 @@ def test_f32_stage_parity_sweep(case):
     y64 = np.asarray(fn(jnp.asarray(x)))
     y32 = np.asarray(fn(jnp.asarray(x, jnp.float32)))
     assert _rel(y32, y64) < tol, (name, _rel(y32, y64))
+
+
+def test_low_radius_biquad_fir_dispatch():
+    """Fast-decaying f32 biquads route to the truncated-FIR GEMM: exact to
+    ~f32 eps (r^128 truncation is far below), final state included."""
+    from convopeq_tpu.models.output_filter import output_filter_coeffs
+    from convopeq_tpu.ops.scan_iir import (biquad_df2t_scan,
+                                           _biquad_pole_radius,
+                                           POLE_RADIUS_FIR_F32)
+    c = output_filter_coeffs(SR)["hc"][1][0]        # 19 kHz LPF, r ~ 0.63
+    assert _biquad_pole_radius(c[3], c[4]) <= POLE_RADIUS_FIR_F32
+    x = np.random.default_rng(7).normal(size=(2, 8192)) * 0.5
+    y64, f64_ = biquad_df2t_scan(jnp.asarray(x), *c)
+    y32, f32_ = biquad_df2t_scan(jnp.asarray(x, jnp.float32), *c)
+    rel = np.sqrt(np.mean((np.asarray(y32) - np.asarray(y64)) ** 2))
+    rel /= np.sqrt(np.mean(np.asarray(y64) ** 2))
+    assert rel < 5e-7, rel
+    assert np.abs(np.asarray(f32_) - np.asarray(f64_)).max() < 1e-6
