@@ -291,6 +291,14 @@ def eq_process_bands_fft(x, params: EQParams, sample_rate, eps=1e-10):
     n = x.shape[-1]
     from ..utils.dsputil import next_pow2
     pad = _eq_ring_tail_samples(params, sample_rate, eps)
+    if (x.dtype != jnp.float64 and jax.default_backend() != "cpu"
+            and n >= 4 * pad):
+        # long buffers on TPU: blocked overlap-save convolution with the
+        # truncated EQ impulse response (error bounded by the same eps
+        # tail analysis) — the monolithic VPU FFT over next_pow2(n) is
+        # the bottleneck at megasample lengths (~100 ms for 60 s x 32
+        # signals vs ~15 ms blocked on the MXU pipelines)
+        return _eq_fft_blocked(x, params, sample_rate, pad)
     m = next_pow2(n + pad)
     csize = m // 2 + 1
     cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
@@ -316,6 +324,45 @@ def eq_process_bands_fft(x, params: EQParams, sample_rate, eps=1e-10):
     YR = h21 * XL + h22 * XR
     y = jnp.fft.irfft(jnp.stack([YL, YR], axis=-2), n=m, axis=-1)[..., :n]
     return y.astype(x.dtype)
+
+
+def _eq_fft_blocked(x, params: EQParams, sample_rate, tail: int):
+    """Blocked EQ convolution: extract the (truncated) 2x2 impulse
+    response from the sampled frequency response and run partitioned
+    overlap-save convolution (ops.partitioned_conv MXU pipelines).
+
+    The response grid is 2*tail so circular time-aliasing of the IR is
+    below the same eps bound as the truncation itself."""
+    from ..utils.dsputil import next_pow2
+    from ..ops.partitioned_conv import (partition_spectra,
+                                        uniform_partitioned_conv)
+    n = x.shape[-1]
+    m = next_pow2(2 * tail)
+    csize = m // 2 + 1
+    cdt = jnp.complex64
+    h11, h12, h21, h22 = _band_matrix_response_device(
+        params, sample_rate, m, csize, cdt)
+
+    active = band_active_mask(params)
+    diag_only = all(int(params.modes[b]) == STEREO
+                    for b in range(NUM_BANDS) if active[b])
+    p = int(np.clip(next_pow2(max(tail // 4, 1)), 1024, 8192))
+
+    def conv_with(resp, sig):
+        ir = jnp.fft.irfft(resp, n=m)[..., :tail].astype(x.dtype)
+        H = partition_spectra(ir, p, dtype=x.dtype)
+        return uniform_partitioned_conv(sig, H, p)
+
+    xL = x[..., 0, :]
+    xR = x[..., 1, :]
+    if diag_only:
+        # all active bands stereo: h12 = h21 = 0 and h11 == h22 — one
+        # response convolves both channels
+        y = conv_with(h11, x)
+        return y[..., :n]
+    yL = conv_with(h11, xL) + conv_with(h12, xR)
+    yR = conv_with(h21, xL) + conv_with(h22, xR)
+    return jnp.stack([yL, yR], axis=-2)[..., :n]
 
 
 def eq_process_bands(x, params: EQParams, sample_rate, method: str = "auto"):
