@@ -223,6 +223,7 @@ class ConvoPeqEngine:
         self._chain_cache = LRUCache(max_entries=8)
         self._mp_cache = MixedPhaseDiskCache(mixed_phase_cache_dir)
         self._ir_generation = 0          # bumped per distinct IR load
+        self._ir_content_key = None      # prepared-cache key of current IR
         self._upgrade_lock = threading.RLock()
 
     # ------------------------------------------------------------------ IR
@@ -256,6 +257,7 @@ class ConvoPeqEngine:
             (self._conv_state, self._ir_prepared, self._ir_peak_latency,
              self._ir_freq_peak_db, self._ir_scale) = cached
             self._ir_raw = ir
+            self._ir_content_key = key
             return self
 
         # Transform: resample
@@ -312,6 +314,7 @@ class ConvoPeqEngine:
         self._prepared_cache.put(key, (self._conv_state, self._ir_prepared,
                                        self._ir_peak_latency,
                                        self._ir_freq_peak_db, self._ir_scale))
+        self._ir_content_key = key
         return self
 
     # ------------------------------------------------------------- config
@@ -406,10 +409,16 @@ class ConvoPeqEngine:
 
     # ------------------------------------------------------------ process
     def _chain_key(self):
+        # IR identity must be content-stable: id(self._conv_state) can be
+        # reused after the prepared-state LRU evicts + GC frees an old
+        # NUCState, which would return a stale compiled chain whose baked-in
+        # auto-gain belongs to the previous IR.  The prepared-cache content
+        # key (set by load_impulse_response) is stable across the IR's life.
+        ir_key = None if self._conv_state is None else \
+            getattr(self, "_ir_content_key", None)
         return (self.eq_params.config_key(),
                 repr(self.config), self.auto_gain_enabled,
-                self.dither_type, self.dither_bit_depth,
-                id(self._conv_state))
+                self.dither_type, self.dither_bit_depth, ir_key)
 
     def _effective_config(self) -> ChainConfig:
         cfg = self.config

@@ -182,11 +182,17 @@ def _target_group_delay(phi_target, peak_delay, fft_size, csize):
 def mixed_phase_allpass(linear_ir, minimum_ir, sample_rate,
                         transition_lo_hz=200.0, transition_hi_hz=700.0,
                         num_sections=20, freq_points=256, generations=160,
-                        population=64, seed=0x434F4E564F4251):
+                        population=64, seed=0x434F4E564F4251,
+                        max_mag_err_db=1.5):
     """Primary mixed-phase path (convertToMixedPhaseAllpass).  1-D inputs.
 
-    Returns the mixed IR, or None when the design fails (callers fall back
-    to `mixed_phase_fallback`, MixedPhase.cpp:37-62).
+    Returns the mixed IR, or None when the design fails OR the result
+    misses the magnitude-fidelity gate (90th-percentile |error| vs the
+    linear IR over significant bins > max_mag_err_db) — callers fall back
+    to `mixed_phase_fallback` (MixedPhase.cpp:37-62).  The gate catches
+    the truncation case: the allpass adds up to MAX_ALLOWED_GD samples of
+    group delay, and when the IR's tail still carries energy at its end,
+    the delayed energy falls off the IR and distorts the magnitude.
     """
     x = np.asarray(linear_ir, np.float64)
     m = np.asarray(minimum_ir, np.float64)
@@ -252,4 +258,18 @@ def mixed_phase_allpass(linear_ir, minimum_ir, sample_rate,
         y = y * (rms_lin / rms_mix)
     if not np.all(np.isfinite(y)):
         return None
+
+    # Fidelity gate: an allpass is magnitude-transparent in theory, but
+    # truncating the delayed IR back to n samples is not.  Reject designs
+    # whose 90th-percentile magnitude error (over bins carrying signal)
+    # exceeds max_mag_err_db so the caller routes to the exact spectral
+    # blend instead of shipping a magnitude-distorted IR.
+    Hl = np.abs(np.fft.rfft(x, fft_size))
+    Hx = np.abs(np.fft.rfft(y, fft_size))
+    sig = Hl > np.max(Hl) * 1e-4          # ignore deep-null bins (-80 dB)
+    if np.any(sig):
+        err_db = 20.0 * np.log10(np.maximum(Hx[sig], 1e-300)
+                                 / np.maximum(Hl[sig], 1e-300))
+        if np.percentile(np.abs(err_db), 90) > max_mag_err_db:
+            return None
     return y

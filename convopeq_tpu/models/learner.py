@@ -183,7 +183,11 @@ class SpectralEvaluator:
 
         # --- masking-model tables (configureForSampleRate, h:214-239) ---
         self.bark = freq_to_bark(f)
-        self.ath_power = 10.0 ** (self.ath_db / 10.0)
+        # Terhardt's 0.001*fk^4 term reaches thousands of dB near high-rate
+        # Nyquist; clamp at +300 dB before exponentiating (behaviorally
+        # neutral — the threshold sits astronomically above any signal
+        # either way, but 10**(db/10) would overflow f64 and warn).
+        self.ath_power = 10.0 ** (np.minimum(self.ath_db, 300.0) / 10.0)
         max_bark = freq_to_bark(nyq)
         bark_step = max(1e-9, max_bark / K_BARK_BANDS)
         self.bin_to_band = np.clip((self.bark / bark_step).astype(int),

@@ -103,6 +103,10 @@ def read_wav_native(path):
     if rc != 0:
         raise ValueError(f"{path}: not a valid WAV (rc={rc})")
     stride = (bits.value // 8) * ch.value
+    if stride == 0:
+        raise ValueError(
+            f"{path}: malformed fmt chunk (channels={ch.value}, "
+            f"bits={bits.value})")
     frames = nbytes.value // stride
     out = np.empty((ch.value, frames), np.float64)
     got = u64()

@@ -54,16 +54,30 @@ def read_wav(path) -> WavData:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
+    if len(fmt) < 16:
+        raise ValueError(f"{path}: fmt chunk too short ({len(fmt)} bytes)")
     (tag, channels, sample_rate, _byte_rate, block_align,
      bits) = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag == _WAVE_FORMAT_EXTENSIBLE:
+        if len(fmt) < 26:
+            raise ValueError(
+                f"{path}: extensible fmt chunk too short ({len(fmt)} bytes)")
         tag = struct.unpack_from("<H", fmt, 24)[0]
+    if channels == 0 or bits == 0 or block_align == 0:
+        raise ValueError(
+            f"{path}: malformed fmt chunk (channels={channels}, bits={bits}, "
+            f"block_align={block_align})")
 
     frames = len(raw) // block_align
     raw = raw[:frames * block_align]
 
     if tag == _WAVE_FORMAT_IEEE_FLOAT:
-        dtype = np.float32 if bits == 32 else np.float64
+        if bits == 32:
+            dtype = np.float32
+        elif bits == 64:
+            dtype = np.float64
+        else:
+            raise ValueError(f"{path}: unsupported float bit depth {bits}")
         x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     elif tag == _WAVE_FORMAT_PCM:
         if bits == 16:

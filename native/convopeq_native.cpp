@@ -62,7 +62,10 @@ int cq_wav_parse(const uint8_t* buf, uint64_t len,
             memcpy(&sr, buf + body + 4, 4);
             memcpy(&ba, buf + body + 12, 2);
             memcpy(&bi, buf + body + 14, 2);
-            if (tag == 0xFFFE && chunk_size >= 26) // extensible
+            // extensible fmt: the real tag lives in the extension at
+            // body+24; chunk_size is file-controlled, so bound BOTH the
+            // declared chunk size and the actual buffer before reading.
+            if (tag == 0xFFFE && chunk_size >= 26 && body + 26 <= len)
                 memcpy(&tag, buf + body + 24, 2);
             *format_tag = tag;
             *channels = ch;

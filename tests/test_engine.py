@@ -176,7 +176,14 @@ def test_sharded_chain_on_cpu_mesh():
     xs = shard_streams(jnp.asarray(x), mesh)
     y = fn(xs, conv_r)
     assert y.shape == x.shape
-    assert np.all(np.isfinite(np.asarray(y)))
+    y = np.asarray(y)
+    assert np.all(np.isfinite(y))
+    # sharded output must EQUAL the single-device output (f64): a sharding
+    # bug that scrambles or cross-talks streams fails here, not just NaNs.
+    y_ref = np.asarray(jax.jit(
+        lambda v, c: process_chain(v, cfg, eqp, c))(jnp.asarray(x), conv))
+    err = np.max(np.abs(y - y_ref))
+    assert err < 1e-9 * (np.max(np.abs(y_ref)) + 1e-30), err
 
 
 def test_compute_ir_scale_clamps():

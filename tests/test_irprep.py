@@ -209,15 +209,35 @@ def test_allpass_designer_matches_flat_target():
 
 @pytest.mark.slow
 def test_mixed_phase_allpass_end_to_end():
-    ir = np.concatenate([np.zeros(64), _test_ir(500)])[:512]
+    # IR long enough to absorb the allpass group delay (<= 120 samples +
+    # full-band offset) without tail truncation: 4096 samples, decay tau
+    # 400 -> the tail is ~e^-10 by the end (production IRs are ~1 s).
+    ir = np.concatenate([np.zeros(64), _test_ir(4096)])[:4096]
     mp = minimum_phase(ir)
     mixed = mixed_phase_allpass(ir, mp, SR, 200.0, 700.0,
                                 num_sections=6, freq_points=64,
                                 generations=30, population=16)
     assert mixed is not None
-    nfft = 4096
+    nfft = 16384
     Hl = np.abs(np.fft.rfft(ir, nfft))
     Hx = np.abs(np.fft.rfft(mixed, nfft))
     # allpass + RMS renorm keeps magnitude close
     err_db = 20 * np.log10(np.maximum(Hx, 1e-9) / np.maximum(Hl, 1e-9))
     assert np.percentile(np.abs(err_db), 90) < 1.5
+
+
+def test_mixed_phase_allpass_gate_rejects_truncating_fixture():
+    """A short IR whose tail still carries energy cannot absorb the
+    allpass group delay (up to MAX_ALLOWED_GD samples): the truncation
+    distorts the magnitude and the fidelity gate must return None so the
+    loader falls back to the exact spectral blend (ADVICE r1)."""
+    ir = np.concatenate([np.zeros(64), _test_ir(500)])[:512]
+    mp = minimum_phase(ir)
+    mixed = mixed_phase_allpass(ir, mp, SR, 200.0, 700.0,
+                                num_sections=6, freq_points=64,
+                                generations=10, population=12,
+                                max_mag_err_db=0.5)
+    assert mixed is None
+    # and the fallback path remains available and finite
+    fb = mixed_phase_fallback(ir, mp, SR, 200.0, 700.0)
+    assert fb.shape == ir.shape and np.all(np.isfinite(fb))
