@@ -1,0 +1,21 @@
+#!/bin/sh
+# Regenerate ground-truth vectors from the reference's own code.
+# Requires g++ and a readable reference checkout (default /root/reference).
+# The committed vectors/ JSONs are the durable artifact; this script only
+# needs to run when the reference version changes.
+set -e
+REF=${REF:-/root/reference}
+HERE=$(dirname "$0")
+OUT="$HERE/vectors"
+mkdir -p "$OUT"
+
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" \
+    "$HERE/dump_fast_tanh.cpp" -o /tmp/dump_fast_tanh
+/tmp/dump_fast_tanh > "$OUT/fast_tanh.json"
+echo "wrote $OUT/fast_tanh.json"
+
+g++ -std=c++20 -O2 -I"$REF/src" -I"$HERE/stub_include" \
+    "$HERE/dump_autogain.cpp" "$REF/src/audioengine/AutoGainPlanner.cpp" \
+    -o /tmp/dump_autogain
+/tmp/dump_autogain > "$OUT/autogain.json"
+echo "wrote $OUT/autogain.json"

@@ -1,0 +1,119 @@
+"""Parity against ground-truth vectors dumped from the REFERENCE's own code.
+
+tests/ref_harness/ compiles the reference's pure (JUCE/MKL-free) units with
+g++ — src/dsp/math/FastTanhApprox.h and src/audioengine/AutoGainPlanner.cpp
+— and dumps input/output vectors to tests/ref_harness/vectors/*.json.  The
+tests here pin our JAX/NumPy implementations against those dumps, so a
+shared misreading of the C++ can no longer pass silently (the goldens are
+produced by the reference implementation itself, not by a transcription).
+
+The coefficient-table tests parse the reference headers textually (the
+tables live inside JUCE/MKL-dependent classes that don't compile
+standalone) and compare against our transcribed constants — catching
+transcription typos at the source.
+"""
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+VEC = os.path.join(HERE, "ref_harness", "vectors")
+REF = os.environ.get("CONVOPEQ_REF", "/root/reference")
+
+
+def _load(name):
+    path = os.path.join(VEC, name)
+    if not os.path.exists(path):
+        pytest.skip(f"missing vector dump {name} (run ref_harness/build_and_dump.sh)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_fast_tanh_eq_scalar_matches_reference():
+    v = _load("fast_tanh.json")
+    from convopeq_tpu.ops.fast_tanh import fast_tanh_eq
+    x = np.asarray(v["x"])
+    ours = np.asarray(fast_tanh_eq(x))
+    np.testing.assert_allclose(ours, np.asarray(v["eq_scalar"]), rtol=0,
+                               atol=1e-15)
+
+
+def test_fast_tanh_eq_v128_matches_reference():
+    v = _load("fast_tanh.json")
+    from convopeq_tpu.ops.fast_tanh import fast_tanh_eq_v
+    x = np.asarray(v["x"])
+    ours = np.asarray(fast_tanh_eq_v(x))
+    np.testing.assert_allclose(ours, np.asarray(v["eq_v128"]), rtol=0,
+                               atol=1e-15)
+
+
+def test_fast_tanh_clip_matches_reference():
+    """Our soft-clip tanh follows the SIMD clamp-then-evaluate form
+    (fastTanhV128<SoftClipPadéPolicy>), which softClipBlockAVX2 uses."""
+    v = _load("fast_tanh.json")
+    from convopeq_tpu.ops.fast_tanh import fast_tanh_clip
+    x = np.asarray(v["x"])
+    ours = np.asarray(fast_tanh_clip(x))
+    np.testing.assert_allclose(ours, np.asarray(v["clip_v128"]), rtol=0,
+                               atol=1e-15)
+
+
+def test_autogain_planner_matches_reference():
+    """Every (enabled, order, bypass, input-grid) case from the reference
+    binary must reproduce bit-close in our float32 reimplementation."""
+    rows = _load("autogain.json")
+    from convopeq_tpu.models.gain_planner import plan, PlannerInput
+    bad = []
+    for (enabled, order, eq_byp, conv_byp, g, q, p,
+         ref_in, ref_makeup, ref_trim) in rows:
+        got = plan(bool(enabled), int(order), bool(eq_byp), bool(conv_byp),
+                   PlannerInput(eq_max_gain_db=g, eq_max_q=q,
+                                ir_freq_peak_gain_db=p))
+        if not (abs(got.input_headroom_db - ref_in) <= 1e-6
+                and abs(got.output_makeup_db - ref_makeup) <= 1e-6
+                and abs(got.convolver_input_trim_db - ref_trim) <= 1e-6):
+            bad.append(((enabled, order, eq_byp, conv_byp, g, q, p),
+                        (got.input_headroom_db, got.output_makeup_db,
+                         got.convolver_input_trim_db),
+                        (ref_in, ref_makeup, ref_trim)))
+    assert not bad, f"{len(bad)} mismatches; first: {bad[0]}"
+
+
+def _parse_table_floats(text):
+    text = re.sub(r"//[^\n]*", "", text)       # strip line comments first
+    return [float(t) for t in re.findall(r"-?\d+\.\d+(?:[eE][-+]?\d+)?", text)]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+def test_psycho_dither_coeff_table_matches_header():
+    """PSYCHO_COEFF_TABLE transcription vs the header text
+    (src/PsychoacousticDither.h kCoeffTable: 6 SR bands x 3 depths x 12)."""
+    from convopeq_tpu.models.dither import PSYCHO_COEFF_TABLE
+    src = open(os.path.join(REF, "src", "PsychoacousticDither.h"),
+               encoding="utf-8").read()
+    m = re.search(r"kCoeffTable\[SR_BANDS\]\[3\]\[NS_ORDER\]\s*=\s*\{(.*?)\};",
+                  src, re.S)
+    assert m is not None, "could not locate kCoeffTable in header"
+    vals = _parse_table_floats(m.group(1))
+    ref = np.asarray(vals[: 6 * 3 * 12]).reshape(6, 3, 12)
+    ours = np.asarray(PSYCHO_COEFF_TABLE, dtype=np.float64)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+def test_fixed15_default_coeffs_match_header():
+    """Fixed15Tap (16th-order) default coefficient table vs the header text
+    (src/Fixed15TapNoiseShaper.h:466)."""
+    from convopeq_tpu.models.dither import FIXED15_DEFAULT
+    src = open(os.path.join(REF, "src", "Fixed15TapNoiseShaper.h"),
+               encoding="utf-8").read()
+    ours = np.asarray(FIXED15_DEFAULT, dtype=np.float64)
+    # the first |ours| floats following the default-table marker
+    idx = src.find(str(float(abs(ours[0]))).rstrip("0")[:8])
+    assert idx > 0, "could not locate default table in header"
+    vals = _parse_table_floats(src[idx - 2: idx + 2000])
+    np.testing.assert_allclose(ours, np.asarray(vals[: len(ours)]),
+                               rtol=0, atol=0)
