@@ -374,6 +374,12 @@ def eq_process_bands(x, params: EQParams, sample_rate, method: str = "auto"):
     """
     if method == "auto":
         method = "scan" if float(params.saturation) > 0.0 else "fft"
+        if (method == "fft" and jnp.asarray(x).dtype == jnp.float64
+                and jax.default_backend() != "cpu"):
+            # dd/f64 mode on an accelerator: no f64 FFT kernel on TPU —
+            # the scan cascade is exact reference semantics and runs as
+            # f64-emulated matmuls/elementwise ops.
+            method = "scan"
     if method == "fft":
         if float(params.saturation) > 0.0:
             raise ValueError("fft EQ path requires saturation == 0")

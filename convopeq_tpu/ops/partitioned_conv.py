@@ -37,6 +37,13 @@ def partition_spectra(h, part_size: int, num_parts: int | None = None,
         h = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, pad)])
     parts = h.reshape(h.shape[:-1] + (nparts, p))
     parts = jnp.pad(parts, [(0, 0)] * (h.ndim - 1) + [(0, 0), (0, p)])
+    if (dtype == jnp.float64 and not isinstance(parts, jax.core.Tracer)
+            and jax.default_backend() != "cpu"):
+        # dd/f64 prep on an accelerator: XLA:TPU has no f64 FFT kernel —
+        # IR preparation is a host-side one-off, so run the exact f64 FFT
+        # in NumPy and ship the spectra to the device.
+        import numpy as np
+        return jnp.asarray(np.fft.rfft(np.asarray(parts), axis=-1))
     return jnp.fft.rfft(parts, axis=-1)
 
 

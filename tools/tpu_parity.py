@@ -1,0 +1,152 @@
+"""On-chip high-precision (dd) parity artifact: run the FULL chain in f64
+on the TPU (XLA f64 software emulation; every FFT routed through the GEMM
+DFT / scan paths — see ops/partitioned_conv.py, models/eq.py) and compare
+against the CPU f64 reference output, which the test suite pins to the
+reference's 64-bit semantics at <=1e-11.
+
+Emits PARITY_TPU.json: chain RMS error (contract: <=1e-9) and the dd-mode
+RTF on the headline 1M-tap + 20-band-EQ config, alongside the f32 fast
+mode for context.  (Ref contract: 64-bit main path,
+/root/reference/README.md:18; north star BASELINE.json.)
+
+Usage: python tools/tpu_parity.py   (run from the repo root, TPU visible)
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 48000.0
+
+_CPU_SNIPPET = r"""
+import jax
+# jax_platforms must be set via config: the axon sitecustomize overrides
+# the JAX_PLATFORMS env var (see .claude/skills/verify/SKILL.md)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, %(repo)r)
+from tools.tpu_parity import build_fixture
+ir, p, cfg, x = build_fixture()
+from convopeq_tpu.models.chain import process_chain
+from convopeq_tpu.models.convolver import stereo_prepare
+from convopeq_tpu.models.nuc import FilterSpec
+conv = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=48000.0))
+y = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv))
+np.save(%(out)r, y)
+"""
+
+
+def build_fixture():
+    """Same class of fixture as tests/test_precision.py: 6k-tap stereo IR,
+    4 active EQ bands (one M/S), soft clip, scan EQ."""
+    from convopeq_tpu.models.chain import ChainConfig
+    from convopeq_tpu.models.eq import EQParams
+    rng = np.random.default_rng(99)
+    n_ir = 6000
+    t = np.arange(n_ir)
+    ir = rng.normal(size=(2, n_ir)) * np.exp(-t / 800.0) * 0.3
+    p = EQParams()
+    p.enabled[:] = False
+    for i, (bt, f, g, q, m) in enumerate([(0, 80, 3, 0.7, 0),
+                                          (1, 500, -4, 1.2, 0),
+                                          (1, 2000, 5, 2, 3),
+                                          (2, 8000, 2, 0.7, 0)]):
+        p.set_band(i, band_type=bt, freq=f, gain_db=g, q=q, mode=m,
+                   enabled=True)
+    cfg = ChainConfig(sample_rate=SR, soft_clip_enabled=True,
+                      saturation_amount=0.25, eq_method="scan")
+    x = rng.normal(size=(2, 8192)) * 0.25
+    return ir, p, cfg, x
+
+
+def cpu_reference(path="/tmp/convopeq_cpu_ref.npy"):
+    """Compute the f64 CPU golden in a subprocess pinned to the CPU
+    backend (keeps this process's TPU backend untouched)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = _CPU_SNIPPET % {"repo": REPO, "out": path}
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=REPO)
+    return np.load(path)
+
+
+def main():
+    t_all = time.time()
+    y_cpu = cpu_reference()
+    print(f"cpu golden done ({time.time() - t_all:.0f}s)", file=sys.stderr)
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import ChainConfig, process_chain
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.nuc import FilterSpec
+
+    ir, p, cfg, x = build_fixture()
+    dev = jax.devices()[0]
+    result = {"device": str(dev)}
+
+    # --- parity: f64 chain on the chip vs the CPU f64 golden -------------
+    conv = stereo_prepare(jax.device_put(jnp.asarray(ir), dev), 512,
+                          FilterSpec(sample_rate=SR))
+    fn = jax.jit(lambda v, c: process_chain(v, cfg, p, c))
+    t0 = time.time()
+    y_tpu = np.asarray(fn(jax.device_put(jnp.asarray(x), dev), conv))
+    print(f"tpu f64 chain done ({time.time() - t0:.0f}s incl. compile)",
+          file=sys.stderr)
+    rel = float(np.sqrt(np.mean((y_tpu - y_cpu) ** 2))
+                / np.sqrt(np.mean(y_cpu ** 2)))
+    result["chain_rms_rel_err_f64_tpu_vs_f64_cpu"] = rel
+    result["contract_1e-9"] = bool(rel <= 1e-9)
+
+    # --- dd-mode RTF on the headline config ------------------------------
+    rng = np.random.default_rng(0)
+    ir_len = 1_000_000
+    seconds = 20.0
+    n = int(SR * seconds)
+    decay = np.exp(-np.arange(ir_len) / (ir_len / 10.0))
+    ir1m = np.stack([rng.normal(size=ir_len) * decay,
+                     rng.normal(size=ir_len) * decay]) * 0.02
+    eqp = EQParams()
+    eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+    cfg_h = ChainConfig(sample_rate=SR)
+
+    for label, dtype, batch in (("dd(f64)", jnp.float64, 4),
+                                ("f32", jnp.float32, 4)):
+        conv_h = stereo_prepare(
+            jax.device_put(jnp.asarray(ir1m, dtype), dev), 512,
+            FilterSpec(sample_rate=SR))
+        fn_h = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+            process_chain(v, cfg_h, eqp, c))))
+        xb = jax.device_put(
+            jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype), dev)
+        t0 = time.time()
+        float(fn_h(xb, conv_h))
+        print(f"{label} compile+warm {time.time() - t0:.0f}s",
+              file=sys.stderr)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn_h(xb, conv_h))
+            walls.append(time.perf_counter() - t0)
+        rtf = batch * seconds / min(walls)
+        result[f"rtf_{label}"] = round(rtf, 1)
+        print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+
+    out = os.path.join(REPO, "PARITY_TPU.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
