@@ -83,11 +83,31 @@ def bench_all():
     run("config4: NUC 1M-tap stereo IR",
         ChainConfig(sample_rate=sr, eq_bypassed=True), None, conv1m)
 
-    # 5: full chain with soft clip + makeup at 48k (dither is a separate
-    # sequential pass; see models/dither.py)
+    # 5: full chain with soft clip + makeup at 48k
     run("config5: full chain (EQ+NUC+softclip)",
         ChainConfig(sample_rate=sr, soft_clip_enabled=True,
                     saturation_amount=0.3), eq20, conv1m)
+
+    # 6: the honest full chain — config5 PLUS the always-on reference
+    # output stage (psychoacoustic 24-bit dither, DSPCoreDouble.cpp:582-653)
+    # via the Pallas sequential quantizer (ops/pallas_kernels.py)
+    from convopeq_tpu.models.dither import apply_dither, PSYCHOACOUSTIC
+    cfg6 = ChainConfig(sample_rate=sr, soft_clip_enabled=True,
+                       saturation_amount=0.3, apply_output_headroom=False)
+    key = jax.random.PRNGKey(0)
+
+    def chain6(v, c):
+        y = process_chain(v, cfg6, eq20, c)
+        u = jax.random.uniform(key, y.shape + (2,), dtype=y.dtype)
+        return jnp.sum(jnp.abs(apply_dither(
+            y, PSYCHOACOUSTIC, sr, 24, uniforms=u)))
+
+    fn6 = jax.jit(chain6)
+    float(fn6(x, conv1m))
+    best = min(_timed(fn6, (x, conv1m)) for _ in range(3))
+    print(json.dumps({"metric": "config6: full chain + psychoacoustic dither",
+                      "value": round(batch * seconds / best, 1),
+                      "unit": "x realtime"}))
 
 
 def main():

@@ -199,6 +199,24 @@ def _round_half_even(v):
     return jnp.round(v)   # jnp.round is round-half-to-even, matching SSE4.1
 
 
+def _scan_unroll() -> int:
+    """Unroll factor for the per-sample scans: TPU scan-iteration overhead
+    dominates the tiny body (measured 1.08 us/sample at unroll=1 vs 252 ns
+    at 128 on v5e); CPU keeps compile times short."""
+    return 128 if jax.default_backend() != "cpu" else 4
+
+
+def _use_pallas_quantizer(x) -> bool:
+    """Route f32 batches on a real TPU through the Pallas sequential
+    quantizer (ops/pallas_kernels.error_feedback_quantize): bit-compatible
+    with the lax.scan kernels and ~4x faster than even the unrolled scan."""
+    import os
+    if os.environ.get("CONVOPEQ_DITHER_BACKEND", "auto") == "scan":
+        return False
+    return (jax.default_backend() not in ("cpu",)
+            and jnp.asarray(x).dtype == jnp.float32)
+
+
 def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
                   headroom: float = K_OUTPUT_HEADROOM):
     """PsychoacousticDither.processStereoBlock (PsychoacousticDither.h:280+).
@@ -229,7 +247,7 @@ def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
 
     z0 = jnp.zeros(batch + (NS_ORDER_PSYCHO,), dt)
     xs = (jnp.moveaxis(x, -1, 0), jnp.moveaxis(d, -1, 0))
-    _, q = jax.lax.scan(step, z0, xs)
+    _, q = jax.lax.scan(step, z0, xs, unroll=_scan_unroll())
     return jnp.moveaxis(q, 0, -1)
 
 
@@ -275,7 +293,7 @@ def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
     e0 = jnp.zeros(batch + (order,), dt)
     xs = (jnp.moveaxis(x, -1, 0),
           jnp.moveaxis(u[..., 0], -1, 0), jnp.moveaxis(u[..., 1], -1, 0))
-    _, q = jax.lax.scan(step, e0, xs)
+    _, q = jax.lax.scan(step, e0, xs, unroll=_scan_unroll())
     return jnp.moveaxis(q, 0, -1)
 
 
@@ -326,7 +344,7 @@ def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
     s0 = jnp.zeros(batch + (order,), dt)
     xs = (jnp.moveaxis(x, -1, 0),
           jnp.moveaxis(u[..., 0], -1, 0), jnp.moveaxis(u[..., 1], -1, 0))
-    _, q = jax.lax.scan(step, s0, xs)
+    _, q = jax.lax.scan(step, s0, xs, unroll=_scan_unroll())
     return jnp.moveaxis(q, 0, -1)
 
 
@@ -344,6 +362,22 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
         if key is None:
             key = jax.random.PRNGKey(0)
         uniforms = jax.random.uniform(key, x.shape + (2,), dtype=x.dtype)
+    if shaper_type in (PSYCHOACOUSTIC, FIXED4, FIXED15) \
+            and _use_pallas_quantizer(x):
+        from ..ops.pallas_kernels import error_feedback_quantize
+        if shaper_type == PSYCHOACOUSTIC:
+            coeffs, mode = psycho_coeffs(sample_rate, bit_depth), "psycho"
+        elif shaper_type == FIXED4:
+            coeffs, mode = fixed4_coeffs(sample_rate), "fixed"
+        else:
+            coeffs, mode = FIXED15_DEFAULT, "fixed"
+        scale, _ = quant_scales(bit_depth)
+        n = x.shape[-1]
+        xr = x.reshape((-1, n))
+        ur = jnp.asarray(uniforms, x.dtype).reshape((-1, n, 2))
+        q = error_feedback_quantize(xr, ur, coeffs, scale, headroom,
+                                    mode=mode)
+        return q.reshape(x.shape)
     if shaper_type == PSYCHOACOUSTIC:
         return psycho_dither(x, uniforms, sample_rate, bit_depth, headroom)
     if shaper_type == FIXED4:

