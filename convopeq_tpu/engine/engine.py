@@ -193,6 +193,8 @@ class EngineState:
     auto_gain_enabled: bool = False
     dither_type: int = 0
     dither_bit_depth: int = 0
+    learning_mode: int = 0
+    adaptive_banks: dict = field(default_factory=dict)
 
 
 class ConvoPeqEngine:
@@ -210,6 +212,11 @@ class ConvoPeqEngine:
         self.auto_gain_enabled = False
         self.dither_type = 0
         self.dither_bit_depth = 0          # 0 = no quantization
+        # learned adaptive-shaper coefficient banks (DeviceSettings
+        # adaptiveCoeff persistence analog; 180 banks)
+        from ..models.learner import AdaptiveCoefficientBanks
+        self.adaptive_banks = AdaptiveCoefficientBanks()
+        self.learning_mode = 0             # LearningMode (bank axis)
         self.phase_mode = PHASE_AS_IS
         self.target_ir_seconds = IR_LENGTH_DEFAULT_SEC
         self.mixed_f1 = MIXED_F1_DEFAULT_HZ
@@ -532,7 +539,10 @@ class ConvoPeqEngine:
 
         if self.dither_bit_depth > 0:
             y = apply_dither(y, self.dither_type, self.sample_rate,
-                             self.dither_bit_depth, key=key)
+                             self.dither_bit_depth, key=key,
+                             adaptive_coeffs=self.adaptive_banks.get(
+                                 self.sample_rate, self.dither_bit_depth,
+                                 self.learning_mode))
         return y
 
     def streaming_chain(self):
@@ -700,6 +710,8 @@ class ConvoPeqEngine:
             auto_gain_enabled=self.auto_gain_enabled,
             dither_type=self.dither_type,
             dither_bit_depth=self.dither_bit_depth,
+            learning_mode=self.learning_mode,
+            adaptive_banks=self.adaptive_banks.to_dict(),
         )
         return json.dumps(asdict(st), indent=2)
 
@@ -733,6 +745,10 @@ class ConvoPeqEngine:
         self.auto_gain_enabled = st["auto_gain_enabled"]
         self.dither_type = st["dither_type"]
         self.dither_bit_depth = st["dither_bit_depth"]
+        self.learning_mode = st.get("learning_mode", 0)
+        from ..models.learner import AdaptiveCoefficientBanks
+        self.adaptive_banks = AdaptiveCoefficientBanks.from_dict(
+            st.get("adaptive_banks", {}))
         return self
 
 

@@ -74,6 +74,95 @@ def coefficient_bank_index(sample_rate: float, bit_depth: int, mode: int) -> int
     return (sr_idx * len(BANK_BIT_DEPTHS) + bd_idx) * BANK_MODES + mode
 
 
+# Learning modes (NoiseShaperLearner.h LearningMode; convergence windows
+# ARCHITECTURE.md:40-45)
+SHORTEST, SHORT, MIDDLE, LONG, ULTRA, CONTINUOUS = range(6)
+
+# Phase boundaries in accumulated playback seconds per mode
+# (NoiseShaperLearner::computePhase)
+PHASE_THRESHOLDS = {
+    SHORTEST: (5.0, 10.0),
+    SHORT: (10.0, 20.0),
+    MIDDLE: (30.0, 60.0),
+    LONG: (60.0, 120.0),
+    ULTRA: (120.0, 240.0),
+    CONTINUOUS: (30.0, 60.0),
+}
+
+# (generation_interval_sec, cov_retention_target) per mode x phase and the
+# per-mode covariance retention ramp step (NoiseShaperLearner::
+# applyPhaseParams)
+PHASE_PARAMS = {
+    SHORTEST: ((0.25, 0.80), (0.5, 0.85), (1.0, 0.90), 0.02),
+    SHORT: ((0.5, 0.85), (1.0, 0.90), (2.0, 0.95), 0.01),
+    MIDDLE: ((1.0, 0.90), (2.0, 0.95), (4.0, 0.98), 0.005),
+    LONG: ((2.0, 0.95), (4.0, 0.98), (8.0, 0.99), 0.002),
+    ULTRA: ((4.0, 0.98), (8.0, 0.99), (16.0, 0.995), 0.001),
+    CONTINUOUS: ((1.0, 0.90), (2.0, 0.95), (4.0, 0.98), 0.005),
+}
+
+# Target-level weighting per phase: 1 = high-level focus (stability),
+# 2 = balanced, 3 = low-level focus (idle-tone detection)
+LEVEL_WEIGHTS_BY_PHASE = {
+    1: np.array([0.1, 0.2, 0.3, 0.4]),
+    2: np.array([0.25, 0.25, 0.25, 0.25]),
+    3: np.array([0.5, 0.3, 0.1, 0.1]),
+}
+
+
+def compute_phase(mode: int, playback_seconds: float) -> int:
+    """Phase 1: exploration, 2: convergence, 3: fine-tune
+    (NoiseShaperLearner::computePhase)."""
+    t1, t2 = PHASE_THRESHOLDS.get(int(mode), PHASE_THRESHOLDS[CONTINUOUS])
+    if playback_seconds < t1:
+        return 1
+    if playback_seconds < t2:
+        return 2
+    return 3
+
+
+class AdaptiveCoefficientBanks:
+    """180-bank learned-coefficient store (10 SRs x 3 depths x 6 modes) with
+    JSON persistence — the DeviceSettings adaptiveCoeff_{sr}_{bit}_{i}
+    persistence analog (src/DeviceSettings.cpp:34-44, 1042-1186)."""
+
+    def __init__(self):
+        self._banks: dict = {}
+
+    @staticmethod
+    def _key(sample_rate: float, bit_depth: int, mode: int) -> int:
+        return coefficient_bank_index(sample_rate, bit_depth, mode)
+
+    def set(self, sample_rate: float, bit_depth: int, mode: int, coeffs):
+        c = np.asarray(coeffs, np.float64)
+        if c.shape != (NS_ORDER_LATTICE,):
+            raise ValueError(f"expected ({NS_ORDER_LATTICE},) coefficients")
+        self._banks[self._key(sample_rate, bit_depth, mode)] = c.copy()
+        return self
+
+    def get(self, sample_rate: float, bit_depth: int, mode: int):
+        """Learned coefficients for the bank, or None if never trained."""
+        return self._banks.get(self._key(sample_rate, bit_depth, mode))
+
+    def store_state(self, state: "LearnedState", sample_rate: float,
+                    bit_depth: int, mode: int):
+        return self.set(sample_rate, bit_depth, mode,
+                        state.best_coefficients)
+
+    def to_dict(self) -> dict:
+        return {str(k): v.tolist() for k, v in sorted(self._banks.items())}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "AdaptiveCoefficientBanks":
+        b = cls()
+        for k, v in (d or {}).items():
+            b._banks[int(k)] = np.asarray(v, np.float64)
+        return b
+
+    def __len__(self):
+        return len(self._banks)
+
+
 def a_weight_power(f, nyquist_hz):
     """bandWeightForHz (MklFftEvaluator.h:187-206): squared A-weighting
     response with a steep rolloff above 18 kHz."""
@@ -452,6 +541,28 @@ class NoiseShaperLearner:
         self.best = None
         self.best_score = np.inf
         self.generation = 0
+        # phased schedule state (computePhase / applyPhaseParams)
+        self.accumulated_seconds = 0.0
+        self.phase = 0                       # forces apply on first feed
+        self.level_weights = LEVEL_WEIGHTS_BY_PHASE[1]
+        self.generation_interval_seconds = PHASE_PARAMS[
+            int(np.clip(mode, 0, BANK_MODES - 1))][0][0]
+        self._apply_phase(1)
+
+    def _apply_phase(self, phase: int):
+        """applyPhaseParams: per-phase generation pacing, covariance
+        retention ramp, and target-level weighting."""
+        if phase == self.phase:
+            return
+        self.phase = phase
+        mode = int(np.clip(self.mode, 0, BANK_MODES - 1))
+        p1, p2, p3, step = PHASE_PARAMS[mode]
+        interval, cov_target = (p1, p2, p3)[phase - 1]
+        self.generation_interval_seconds = interval
+        self.opt.params.cov_retention_target = cov_target
+        self.opt.params.cov_retention_step = step
+        self.opt.cov_retention = min(self.opt.cov_retention, cov_target)
+        self.level_weights = LEVEL_WEIGHTS_BY_PHASE[phase]
 
     def _cost(self, unconstrained, audio_lr):
         k = CmaEs.to_parcor(unconstrained)
@@ -460,7 +571,7 @@ class NoiseShaperLearner:
         if self._uniforms is None or \
                 self._uniforms.shape[:2] != (2, K_FFT_LENGTH):
             self._uniforms = self.rng.uniform(size=(2, K_FFT_LENGTH, 2))
-        for lvl in TARGET_LEVELS:
+        for li, lvl in enumerate(TARGET_LEVELS):
             block = audio_lr * (lvl / rms)
             err = simulate_shaper_error(block[:, :K_FFT_LENGTH], k,
                                         self.sample_rate, self.bit_depth,
@@ -468,9 +579,9 @@ class NoiseShaperLearner:
             # the signal segment masks its own quantization error
             # (precomputeMaskingThresholds, NoiseShaperLearner.cpp:1260-1261)
             thr = self.evaluator.signal_masking_thresholds(block[0], block[1])
-            total += self.evaluator.evaluate(err[0], err[1],
-                                             thr).composite_score
-        return total / len(TARGET_LEVELS)
+            total += self.level_weights[li] * self.evaluator.evaluate(
+                err[0], err[1], thr).composite_score
+        return total / float(np.sum(self.level_weights))
 
     def _population_costs(self, cands, audio_lr):
         """Score a whole population: one vmapped JAX simulation for every
@@ -491,19 +602,27 @@ class NoiseShaperLearner:
                       for b in blocks]
 
         def score(p):
+            # phase-weighted level mix (currentLevelWeights)
             tot = 0.0
             for li in range(len(TARGET_LEVELS)):
-                tot += self.evaluator.evaluate(
+                tot += self.level_weights[li] * self.evaluator.evaluate(
                     errs[p, li, 0], errs[p, li, 1],
                     thresholds[li]).composite_score
-            return tot / len(TARGET_LEVELS)
+            return tot / float(np.sum(self.level_weights))
 
         with ThreadPoolExecutor(max_workers=self.workers) as ex:
             return np.array(list(ex.map(score, range(len(cands)))))
 
     def feed(self, audio_lr: np.ndarray, generations: int = 1):
-        """Run CMA-ES generations on a captured stereo block (2, >=4096)."""
+        """Run CMA-ES generations on a captured stereo block (2, >=4096).
+
+        Accumulated playback time drives the 3-phase schedule
+        (exploration -> convergence -> fine-tune): phase transitions
+        retune the optimizer's covariance-retention ramp, the generation
+        pacing, and the target-level weighting."""
         audio_lr = np.asarray(audio_lr, np.float64)
+        self.accumulated_seconds += audio_lr.shape[-1] / self.sample_rate
+        self._apply_phase(compute_phase(self.mode, self.accumulated_seconds))
         for _ in range(generations):
             cands = self.opt.sample()
             fits = self._population_costs(cands, audio_lr)

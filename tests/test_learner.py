@@ -151,3 +151,56 @@ def test_spreading_function_shape():
     down1 = _spread_db(np.array([-1.0]), np.array([True]))[0]
     down1n = _spread_db(np.array([-1.0]), np.array([False]))[0]
     assert down1 > down1n                 # tonal decays slower downward
+
+
+def test_phase_schedule():
+    """computePhase boundaries + applyPhaseParams effects
+    (NoiseShaperLearner.cpp phased schedule)."""
+    from convopeq_tpu.models.learner import (
+        NoiseShaperLearner, compute_phase, SHORTEST, SHORT, LONG,
+        LEVEL_WEIGHTS_BY_PHASE)
+    assert compute_phase(SHORTEST, 0.0) == 1
+    assert compute_phase(SHORTEST, 5.0) == 2
+    assert compute_phase(SHORTEST, 10.0) == 3
+    assert compute_phase(LONG, 59.9) == 1
+    assert compute_phase(LONG, 60.0) == 2
+    assert compute_phase(LONG, 120.0) == 3
+
+    lr = NoiseShaperLearner(48000.0, 16, mode=SHORTEST, seed=3, workers=1)
+    assert lr.phase == 1
+    assert lr.generation_interval_seconds == 0.25
+    assert lr.opt.params.cov_retention_target == 0.80
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(2, 4096)) * 0.2
+    # ~0.085 s per feed: after ~60 feeds we cross the 5 s phase boundary
+    for _ in range(60):
+        lr.accumulated_seconds += 4096 / 48000.0
+    lr.feed(audio, generations=1)
+    assert lr.phase == 2
+    assert lr.generation_interval_seconds == 0.5
+    assert lr.opt.params.cov_retention_target == 0.85
+    assert np.allclose(lr.level_weights, LEVEL_WEIGHTS_BY_PHASE[2])
+
+
+def test_adaptive_bank_persistence_roundtrip():
+    """Banked coefficients survive engine save/load (DeviceSettings
+    adaptiveCoeff persistence analog)."""
+    from convopeq_tpu.models.learner import AdaptiveCoefficientBanks
+    from convopeq_tpu.engine.engine import ConvoPeqEngine
+    b = AdaptiveCoefficientBanks()
+    c = np.linspace(-0.5, 0.5, 9)
+    b.set(48000.0, 16, 2, c)
+    b.set(96000.0, 24, 0, -c)
+    assert len(b) == 2
+    assert np.allclose(b.get(48000.0, 16, 2), c)
+    assert b.get(44100.0, 16, 2) is None
+
+    eng = ConvoPeqEngine(48000.0, 512)
+    eng.adaptive_banks = b
+    eng.learning_mode = 2
+    text = eng.save_state()
+    eng2 = ConvoPeqEngine(48000.0, 512)
+    eng2.load_state(text)
+    assert eng2.learning_mode == 2
+    assert np.allclose(eng2.adaptive_banks.get(48000.0, 16, 2), c)
+    assert np.allclose(eng2.adaptive_banks.get(96000.0, 24, 0), -c)
