@@ -248,14 +248,21 @@ def nuc_prepare(ir, block_size: int, spec: FilterSpec | None = None,
     for lp in plan.layers:
         seg = ir_fft[lp.offset:lp.offset + lp.length]
         H = partition_spectra(seg, lp.part_size, lp.num_parts, dtype=ir.dtype)
-        if scale != 1.0:
-            H = H * scale
         gain = np.ones(lp.part_size + 1)
+        if scale != 1.0:
+            gain = gain * scale
         if apply_spectrum_filter:
             gain = gain * spectrum_filter_gain(2 * lp.part_size, spec)
         if lp.damping is not None:
             gain = gain * air_absorption_gain(2 * lp.part_size, lp.damping)
-        H = H * jnp.asarray(gain, ir.dtype)
+        g = jnp.asarray(gain, jnp.float64 if isinstance(H, tuple)
+                        else ir.dtype)
+        if isinstance(H, tuple):
+            # split re/im planes (dd/f64 accelerator mode): real gain
+            # applies to both planes
+            H = (H[0] * g, H[1] * g)
+        else:
+            H = H * g
         spectra.append(H)
     return NUCState(plan=plan, layer_spectra=spectra, direct_ir=direct_ir)
 

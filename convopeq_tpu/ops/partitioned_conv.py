@@ -39,11 +39,15 @@ def partition_spectra(h, part_size: int, num_parts: int | None = None,
     parts = jnp.pad(parts, [(0, 0)] * (h.ndim - 1) + [(0, 0), (0, p)])
     if (dtype == jnp.float64 and not isinstance(parts, jax.core.Tracer)
             and jax.default_backend() != "cpu"):
-        # dd/f64 prep on an accelerator: XLA:TPU has no f64 FFT kernel —
+        # dd/f64 prep on an accelerator: XLA:TPU has neither an f64 FFT
+        # kernel nor complex128 arrays AT ALL (device_put of c128 fails) —
         # IR preparation is a host-side one-off, so run the exact f64 FFT
-        # in NumPy and ship the spectra to the device.
+        # in NumPy and ship SPLIT re/im f64 planes to the device.  The
+        # split-tuple representation flows through uniform_partitioned_conv
+        # and the spectrum-gain multiplies.
         import numpy as np
-        return jnp.asarray(np.fft.rfft(np.asarray(parts), axis=-1))
+        H = np.fft.rfft(np.asarray(parts), axis=-1)
+        return (jnp.asarray(H.real), jnp.asarray(H.imag))
     return jnp.fft.rfft(parts, axis=-1)
 
 
@@ -209,6 +213,23 @@ def _causal_frame_mac_matmul(X, H, chunk: int = 128):
     return jax.lax.complex(Yr, Yi)
 
 
+def _mac_shift_ri(Xr, Xi, Hr, Hi):
+    """Split-real causal frame MAC by explicit partition shifts:
+    Y[k] = sum_p X[k-p] * H[p] as P shifted elementwise multiply-adds
+    (complex-free — the dd/f64 TPU path, where c128 does not exist).
+    Xr/Xi: (..., K, B); Hr/Hi: (P, B)."""
+    P = Hr.shape[0]
+    acc_r = Xr * Hr[0] - Xi * Hi[0]
+    acc_i = Xr * Hi[0] + Xi * Hr[0]
+    pad = [(0, 0)] * (Xr.ndim - 2)
+    for p in range(1, P):
+        Xr_s = jnp.pad(Xr, pad + [(p, 0), (0, 0)])[..., :-p, :]
+        Xi_s = jnp.pad(Xi, pad + [(p, 0), (0, 0)])[..., :-p, :]
+        acc_r = acc_r + Xr_s * Hr[p] - Xi_s * Hi[p]
+        acc_i = acc_i + Xr_s * Hi[p] + Xi_s * Hr[p]
+    return acc_r, acc_i
+
+
 def _causal_frame_mac_fft(X, H):
     """Same contract as `_causal_frame_mac`, via FFT along the frame axis.
 
@@ -252,6 +273,21 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         [jnp.zeros(frames.shape[:-2] + (1, p), x.dtype), frames[..., :-1, :]],
         axis=-2)
     osa = jnp.concatenate([prev, frames], axis=-1)        # (..., K, 2P)
+    if isinstance(Hparts, tuple):
+        # split re/im spectra (the dd/f64 accelerator mode: no complex128
+        # on TPU) — all-GEMM/elementwise, complex-free pipeline
+        Hr, Hi = Hparts
+        if p <= RDFT_MATMUL_MAX_P:
+            Xr, Xi = _rfft_matmul(osa, p)
+            Yr, Yi = _mac_matmul_ri(Xr, Xi, Hr, Hi)
+            y = _irfft_valid_matmul(Yr, Yi, p)
+        else:
+            from .gemm_fft import rfft_gemm, irfft_valid_gemm
+            Xr, Xi = rfft_gemm(osa, p)
+            Yr, Yi = _mac_shift_ri(Xr, Xi, Hr, Hi)
+            y = irfft_valid_gemm(Yr, Yi, p)
+        y = y.reshape(x.shape[:-1] + (k * p,))
+        return y[..., :n]
     H = jnp.asarray(Hparts)
     if frame_mac == "auto":
         # CPU always takes the frame-FFT form: XLA CPU's Eigen conv kernel
