@@ -317,6 +317,17 @@ def biquad_df2t_scan(x, b0, b1, b2, a1, a2, s0=None,
                 # FIR runs as one banded-Toeplitz GEMM pass instead of a
                 # scan (ops.oversample._fir_matmul)
                 method = "fir"
+        elif (scalar_coeffs and s0 is None
+                and jax.default_backend() != "cpu"):
+            # dd mode (f64 on an accelerator): XLA's f64 emulation carries
+            # a few extra ulps per op, and the companion-matrix prefix
+            # products amplify them by ~1/(1-r) for near-DC poles (the
+            # 18 Hz output-filter biquad measured 1.5e-9 rel on v5e vs
+            # 1e-14 diagonalized) — route high-radius poles to the
+            # well-conditioned diagonal form, like the f32 path.
+            rmax = _biquad_pole_radius(float(a1), float(a2))
+            if rmax > POLE_RADIUS_DIAG_F32:
+                method = "diag"
     if method == "fir" and scalar_coeffs and s0 is None:
         return _biquad_fir_f32(x, float(b0), float(b1), float(b2),
                                float(a1), float(a2))
