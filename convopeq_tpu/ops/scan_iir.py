@@ -95,7 +95,13 @@ def _biquad_fir_f32(x, b0, b1, b2, a1, a2):
 MATMUL_CHUNK = 128
 
 # Default affine-scan backend (A/B knob; see affine_scan_2x2 docstring).
-AFFINE_BACKEND = os.environ.get("CONVOPEQ_AFFINE_BACKEND", "matmul")
+# "auto" picks per length: megasample offline buffers amortize the MXU
+# Toeplitz form's many small matmuls, but at serving block sizes those
+# matmuls are pure launch overhead (measured on v5e, 20-band EQ over
+# 512-sample blocks: 15.5 ms/block matmul vs 3.6 ms scan — and 665 s vs
+# 34 s compile).
+AFFINE_BACKEND = os.environ.get("CONVOPEQ_AFFINE_BACKEND", "auto")
+AFFINE_AUTO_MIN_MATMUL_N = 4096
 
 
 def affine_scan_2x2(A, bu, s0, chunk: int | None = None,
@@ -126,6 +132,9 @@ def affine_scan_2x2(A, bu, s0, chunk: int | None = None,
     """
     if backend is None:
         backend = AFFINE_BACKEND
+    if backend == "auto":
+        backend = ("matmul" if jnp.shape(bu)[-2] >= AFFINE_AUTO_MIN_MATMUL_N
+                   else "scan")
     if backend == "matmul":
         return _affine_scan_2x2_matmul(A, bu, s0, chunk or MATMUL_CHUNK)
     return _affine_scan_2x2_scan(A, bu, s0, chunk or DEFAULT_CHUNK)

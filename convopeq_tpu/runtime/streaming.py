@@ -61,16 +61,23 @@ def _ring_write(ring, data, pos):
 
 
 def _ring_read(ring, pos, L):
-    doubled = jnp.concatenate([ring, ring], axis=-1)
-    return jax.lax.dynamic_slice_in_dim(doubled, pos, L, axis=-1)
+    """Aligned ring read: the serving path reads at pos = step*L mod n
+    with n a power-of-two multiple of L, so the read NEVER wraps — one
+    dynamic slice, no ring doubling (the doubled-copy form cost ~8 MB of
+    copies per step on a 1M-tap IR's L2 ring)."""
+    return jax.lax.dynamic_slice_in_dim(ring, pos, L, axis=-1)
 
 
 # ------------------------------------------------------------- NUC layers
 
 @dataclass
 class StreamLayerState:
+    """FDL spectra are carried as SPLIT re/im real arrays: the tunneled
+    TPU backend has no complex dynamic_update_slice / lax.cond, and the
+    split form also feeds the Pallas fdl_mac kernel directly."""
     prev: jnp.ndarray       # (..., P) previous overlap-save frame
-    fdl: jnp.ndarray        # (..., numParts, P+1) complex, newest first
+    fdl_r: jnp.ndarray      # (..., numParts, P+1) real plane, newest first
+    fdl_i: jnp.ndarray      # (..., numParts, P+1) imag plane
     acc: jnp.ndarray        # (..., P) input accumulation buffer
     ring: jnp.ndarray       # (..., ring_len) aligned output ring (tail)
     step: jnp.ndarray       # () int32 block counter
@@ -78,11 +85,11 @@ class StreamLayerState:
 
 jax.tree_util.register_pytree_node(
     StreamLayerState,
-    lambda s: ((s.prev, s.fdl, s.acc, s.ring, s.step), None),
+    lambda s: ((s.prev, s.fdl_r, s.fdl_i, s.acc, s.ring, s.step), None),
     lambda _, c: StreamLayerState(*c))
 
 
-def _layer_init(batch, lp, block_size, rdt, cdt):
+def _layer_init(batch, lp, block_size, rdt, cdt=None):
     ring_len = 1
     if lp.offset > 0:
         if lp.offset < lp.part_size:
@@ -93,28 +100,51 @@ def _layer_init(batch, lp, block_size, rdt, cdt):
         ring_len = int(2 ** int(np.ceil(np.log2(lp.offset + 2 * lp.part_size))))
     return StreamLayerState(
         prev=jnp.zeros(batch + (lp.part_size,), rdt),
-        fdl=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), cdt),
+        fdl_r=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), rdt),
+        fdl_i=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), rdt),
         acc=jnp.zeros(batch + (lp.part_size,), rdt),
         ring=jnp.zeros(batch + (ring_len,), rdt),
         step=jnp.zeros((), jnp.int32),
     )
 
 
-def _layer_step(state: StreamLayerState, block, H, lp, block_size, gain):
-    """Advance one NUC layer by one engine block and return its output."""
+def _fdl_mac_ri(fr, fi, Hr, Hi):
+    """Y = sum_p fdl[p] * H[p], split re/im (the accumulateSplitComplex
+    loop, MKLNonUniformConvolver.cpp:167-182)."""
+    Yr = jnp.sum(fr * Hr - fi * Hi, axis=-2)
+    Yi = jnp.sum(fr * Hi + fi * Hr, axis=-2)
+    return Yr, Yi
+
+
+def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
+    """Advance one NUC layer by one engine block and return its output.
+
+    Hri: (Hr, Hi) split partition spectra."""
     p = lp.part_size
     ratio = p // block_size
+    Hr, Hi = Hri
+
+    def fft_split(osa):
+        X = jnp.fft.rfft(osa, axis=-1)
+        return jnp.real(X), jnp.imag(X)
+
+    def irfft_half(Yr, Yi):
+        Y = jax.lax.complex(Yr, Yi)
+        return jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]
 
     if ratio == 1 and lp.offset == 0:
         # L0: immediate (processLayerBlock)
         osa = jnp.concatenate([state.prev, block], axis=-1)
-        X = jnp.fft.rfft(osa, axis=-1)
-        fdl = jnp.concatenate([X[..., None, :], state.fdl[..., :-1, :]],
-                              axis=-2)
-        Y = jnp.sum(fdl * H, axis=-2)
-        y = jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]
-        return StreamLayerState(prev=block, fdl=fdl, acc=state.acc,
-                                ring=state.ring, step=state.step + 1), gain * y
+        Xr, Xi = fft_split(osa)
+        fr = jnp.concatenate([Xr[..., None, :], state.fdl_r[..., :-1, :]],
+                             axis=-2)
+        fi = jnp.concatenate([Xi[..., None, :], state.fdl_i[..., :-1, :]],
+                             axis=-2)
+        Yr, Yi = _fdl_mac_ri(fr, fi, Hr, Hi)
+        y = irfft_half(Yr, Yi)
+        return StreamLayerState(prev=block, fdl_r=fr, fdl_i=fi,
+                                acc=state.acc, ring=state.ring,
+                                step=state.step + 1), gain * y
 
     slot = jnp.mod(state.step, ratio)
     acc = jax.lax.dynamic_update_slice_in_dim(
@@ -124,26 +154,28 @@ def _layer_step(state: StreamLayerState, block, H, lp, block_size, gain):
 
     def fire(_):
         osa = jnp.concatenate([state.prev, acc], axis=-1)
-        X = jnp.fft.rfft(osa, axis=-1)
-        fdl2 = jnp.concatenate([X[..., None, :], state.fdl[..., :-1, :]],
-                               axis=-2)
-        Y = jnp.sum(fdl2 * H, axis=-2)
-        y = jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]
+        Xr, Xi = fft_split(osa)
+        fr = jnp.concatenate([Xr[..., None, :], state.fdl_r[..., :-1, :]],
+                             axis=-2)
+        fi = jnp.concatenate([Xi[..., None, :], state.fdl_i[..., :-1, :]],
+                             axis=-2)
+        Yr, Yi = _fdl_mac_ri(fr, fi, Hr, Hi)
+        y = irfft_half(Yr, Yi)
         # frame index k: this frame holds local samples [k*p, (k+1)*p);
         # aligned stream position = k*p + offset
         k = (state.step + 1) // ratio - 1
         pos = jnp.mod(k * p + lp.offset, ring_len)
-        return acc, fdl2, _ring_write(state.ring, y, pos)
+        return acc, fr, fi, _ring_write(state.ring, y, pos)
 
     def hold(_):
-        return state.prev, state.fdl, state.ring
+        return state.prev, state.fdl_r, state.fdl_i, state.ring
 
-    prev, fdl, ring = jax.lax.cond(frame_done, fire, hold, None)
+    prev, fr, fi, ring = jax.lax.cond(frame_done, fire, hold, None)
 
     read_pos = jnp.mod(state.step * block_size, ring_len)
     out = _ring_read(ring, read_pos, block_size)
-    return StreamLayerState(prev=prev, fdl=fdl, acc=acc, ring=ring,
-                            step=state.step + 1), gain * out
+    return StreamLayerState(prev=prev, fdl_r=fr, fdl_i=fi, acc=acc,
+                            ring=ring, step=state.step + 1), gain * out
 
 
 # ------------------------------------------------------------- full chain
@@ -228,17 +260,35 @@ class StreamingChain:
             st = design_halfband(31, 90.0)   # prepareSingleStage (local 2x OS)
             self._sc_stage = st
             self._sc_hists = _stage_hist_sizes(st)
+        # prepared spectra ride as jit ARGUMENTS (complex constants would
+        # need a device->host readback the TPU runtime lacks), split into
+        # re/im real planes (no complex control flow on the TPU path)
+        def split_H(H):
+            if isinstance(H, tuple):
+                return H                      # dd mode: already split
+            return (jnp.real(H), jnp.imag(H))
+
+        if self.left is not None:
+            direct = None
+            if self.left.plan.direct_taps > 0:
+                direct = (self.left.direct_ir, self.right.direct_ir)
+            self._conv_args = (
+                (tuple(split_H(H) for H in self.left.layer_spectra),
+                 tuple(split_H(H) for H in self.right.layer_spectra)),
+                direct)
+        else:
+            self._conv_args = ((None, None), None)
         self._step = jax.jit(self._make_step())
+        self._multi = None
 
     # ------------------------------------------------------------ state
     def init_state(self, batch_shape=()) -> StreamState:
         rdt = self.dtype
-        cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
         conv_layers = ((), ())
         direct_hist = None
         if self.left is not None:
             mk = lambda st: tuple(
-                _layer_init(batch_shape, lp, self.block_size, rdt, cdt)
+                _layer_init(batch_shape, lp, self.block_size, rdt)
                 for lp in st.plan.layers)
             conv_layers = (mk(self.left), mk(self.right))
             if self.left.plan.direct_taps > 0:
@@ -346,14 +396,21 @@ class StreamingChain:
                 L, R = srcL + accL, srcR + accR
             return L, R, new_states
 
-        def run_conv(L, R, st: StreamState):
+        def run_conv(L, R, st: StreamState, conv_args):
+            # conv_args = ((left spectra...), (right spectra...),
+            #              (direct_l, direct_r) | None) passed as traced jit
+            # ARGUMENTS: closure-capturing the prepared device arrays would
+            # embed them as compile-time constants, which requires a
+            # device->host readback that this TPU runtime does not
+            # implement for complex dtypes (see NUCState docstring).
+            spectra_lr, direct_lr = conv_args
             new_layers = []
             outs = []
             for ch, (sig, nuc) in enumerate(((L, self.left), (R, self.right))):
                 states = st.conv_layers[ch]
                 wet = jnp.zeros_like(sig)
                 ls = []
-                for lstate, H, lp in zip(states, nuc.layer_spectra,
+                for lstate, H, lp in zip(states, spectra_lr[ch],
                                          nuc.plan.layers):
                     lstate, y = _layer_step(lstate, sig, H, lp,
                                             self.block_size * os_factor,
@@ -369,12 +426,11 @@ class StreamingChain:
                 k = self.left.plan.direct_taps
                 dh = []
                 douts = []
-                for ch, (sig, nuc) in enumerate(((L, self.left),
-                                                 (R, self.right))):
+                for ch, sig in enumerate((L, R)):
                     windowed = jnp.concatenate([direct_hist[ch], sig], axis=-1)
                     g = jnp.zeros_like(sig)
                     for t in range(k):
-                        g = g + nuc.direct_ir[t] * windowed[
+                        g = g + direct_lr[ch][t] * windowed[
                             ..., k - 1 - t:k - 1 - t + sig.shape[-1]]
                     douts.append(g)
                     dh.append(windowed[..., -(k - 1):])
@@ -428,7 +484,7 @@ class StreamingChain:
                 new_hists[i] = uext[..., -h_dn:]
             return x, tuple(new_hists)
 
-        def step(state: StreamState, block):
+        def step(state: StreamState, block, conv_args):
             x = jnp.asarray(block, self.dtype)
             x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
             x = jnp.clip(x, -1.0, 1.0)
@@ -450,7 +506,8 @@ class StreamingChain:
             agc_state = state.agc
             if cfg.order == CONVOLVER_THEN_EQ:
                 if conv_active:
-                    L, R, conv_layers, direct_hist = run_conv(L, R, state)
+                    L, R, conv_layers, direct_hist = run_conv(L, R, state,
+                                                              conv_args)
                 if eq_active:
                     L, R, eq_states, agc_state = run_eq(L, R, eq_states,
                                                         agc_state)
@@ -462,7 +519,8 @@ class StreamingChain:
                     if abs(cfg.convolver_input_trim_gain - 1.0) > 1e-12:
                         L = L * cfg.convolver_input_trim_gain
                         R = R * cfg.convolver_input_trim_gain
-                    L, R, conv_layers, direct_hist = run_conv(L, R, state)
+                    L, R, conv_layers, direct_hist = run_conv(L, R, state,
+                                                              conv_args)
 
             of_states = state.of_states
             if conv_active or eq_active:
@@ -555,7 +613,33 @@ class StreamingChain:
     # ---------------------------------------------------------- process
     def step(self, state: StreamState, block):
         """Advance by one block: block (..., 2, block_size)."""
-        return self._step(state, block)
+        return self._step(state, block, self._conv_args)
+
+    def multi_step(self, state: StreamState, blocks):
+        """Advance M blocks in ONE dispatch: blocks (..., 2, M*block_size).
+
+        The per-call host->device dispatch latency (tens of ms through a
+        tunneled transport) dwarfs the per-block compute, so real-time
+        serving batches M callback blocks per dispatch — latency grows to
+        M blocks, throughput amortizes the dispatch (the XRUN contract is
+        then per M-block deadline).  Internally a lax.scan over the same
+        single-block step (identical numerics and carried state)."""
+        m = blocks.shape[-1] // self.block_size
+        if self._multi is None:
+            step = self._make_step()
+
+            def multi(state, xs, conv_args):
+                def body(st, blk):
+                    return step(st, blk, conv_args)
+                return jax.lax.scan(body, state, xs)
+
+            self._multi = jax.jit(multi)
+        bs = self.block_size
+        xs = blocks.reshape(blocks.shape[:-1] + (m, bs))
+        xs = jnp.moveaxis(xs, -2, 0)                  # (M, ..., 2, bs)
+        state, ys = self._multi(state, xs, self._conv_args)
+        ys = jnp.moveaxis(ys, 0, -2)
+        return state, ys.reshape(ys.shape[:-2] + (m * bs,))
 
     def process(self, x, state: StreamState | None = None):
         """Convenience: stream a whole (..., 2, N) signal block by block."""
