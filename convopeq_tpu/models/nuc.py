@@ -225,17 +225,27 @@ jax.tree_util.register_pytree_node(NUCState, _nuc_flatten, _nuc_unflatten)
 
 def nuc_prepare(ir, block_size: int, spec: FilterSpec | None = None,
                 scale: float = 1.0, enable_direct_head: bool = False,
-                apply_spectrum_filter: bool = True) -> NUCState:
+                apply_spectrum_filter: bool = True,
+                unit_layer_gains: bool = False) -> NUCState:
     """SetImpulse equivalent: partition the IR, precompute filtered spectra.
 
     ir: (N,) mono float64 (one NUCState per channel, as the reference runs
     one MKLNonUniformConvolver instance per channel).
+
+    unit_layer_gains=True keeps the layer SIZING but forces every layer's
+    contour gain to 1.0, making the NUC a plain (exact) linear convolution
+    with `ir` — for callers that pre-bake the contour gains into the IR
+    itself (chain.prepare_folded_convolver).
     """
     if spec is None:
         spec = FilterSpec()
         apply_spectrum_filter = False
     plan = plan_layers(int(np.shape(ir)[-1]), block_size, spec,
                        enable_direct_head)
+    if unit_layer_gains:
+        from dataclasses import replace as _dc_replace
+        plan = _dc_replace(plan, layers=tuple(
+            _dc_replace(lp, gain=1.0) for lp in plan.layers))
 
     ir = jnp.asarray(ir)
     direct_ir = None

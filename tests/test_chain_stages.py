@@ -284,3 +284,66 @@ def test_chain_end_to_end_smoke():
                           conv_bypassed=True)
     y2 = np.asarray(process_chain(jnp.asarray(x), cfg_byp, eqp, conv))
     assert np.abs(y).max() != pytest.approx(np.abs(y2).max(), rel=1e-3)
+
+
+def test_fused_chain_matches_exact_cascade():
+    """Static-config fusion: the folded prefilter conv (dc_in * EQ *
+    output filter * dc_out) + untouched NUC equals the exact stage
+    cascade to the prefilter's truncation bound (models/chain.py fused
+    mode — the headline-bench fast path)."""
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import (
+        ChainConfig, process_chain, process_chain_fused, fused_eligible,
+        prepare_fused_prefilter)
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.nuc import FilterSpec
+    rng = np.random.default_rng(31)
+    sr = 48000.0
+    ir = rng.normal(size=(2, 6000)) * np.exp(-np.arange(6000) / 900.0) * 0.2
+    p = EQParams()
+    p.gains_db[:] = np.linspace(-4.0, 4.0, 20)     # all stereo bands
+    cfg = ChainConfig(sample_rate=sr)
+    assert fused_eligible(cfg, p, True)
+    # fusion requires the pure-LTI NUC (unfiltered spectra — the filtered
+    # NUC is LPTV and does not commute; see models/chain.py fused block)
+    conv = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=sr),
+                          apply_spectrum_filter=False)
+    x = rng.normal(size=(1, 2, 32768)) * 0.25
+
+    y_ref = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv))
+    pre = prepare_fused_prefilter(cfg, p, eps=1e-10)
+    y_fused = np.asarray(process_chain_fused(jnp.asarray(x), cfg, conv, pre))
+    rel = np.sqrt(np.mean((y_fused - y_ref) ** 2)) \
+        / np.sqrt(np.mean(y_ref ** 2))
+    assert rel < 3e-9, rel
+
+    # the HC/LC-in-prefilter variant tracks the circular-filtered chain to
+    # the filter's frame-wrap difference (a documented variant, not exact)
+    from convopeq_tpu.models.nuc import spectrum_filter_gain
+    spec = FilterSpec(sample_rate=sr)
+    conv_f = stereo_prepare(jnp.asarray(ir), 512, spec)
+    y_circ = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv_f))
+    pre_f = prepare_fused_prefilter(cfg, p, eps=1e-10, spec=spec)
+    y_lin = np.asarray(process_chain_fused(jnp.asarray(x), cfg, conv, pre_f))
+    rel_v = np.sqrt(np.mean((y_lin - y_circ) ** 2)) \
+        / np.sqrt(np.mean(y_circ ** 2))
+    assert rel_v < 0.05, rel_v              # same shaping, different grid
+
+    # deepest fold: prefilter baked into the IR itself (layer contour
+    # gains pre-applied, unit-gain NUC) == the prefilter-conv fused path
+    from convopeq_tpu.models.chain import prepare_folded_convolver
+    conv_fold = prepare_folded_convolver(ir, 512, spec, cfg, p, eps=1e-10)
+    y_fold = np.asarray(process_chain_fused(jnp.asarray(x), cfg, conv_fold))
+    rel_f = np.sqrt(np.mean((y_fold - y_lin) ** 2)) \
+        / np.sqrt(np.mean(y_lin ** 2))
+    assert rel_f < 1e-9, rel_f
+
+    # ineligibility guards: M/S band, soft clip, wet/dry
+    p2 = EQParams()
+    p2.set_band(0, mode=3, gain_db=3.0)
+    assert not fused_eligible(cfg, p2, True)
+    from dataclasses import replace
+    assert not fused_eligible(replace(cfg, soft_clip_enabled=True), p, True)
+    assert not fused_eligible(replace(cfg, wet_dry_mix=0.5), p, True)
+    assert not fused_eligible(replace(cfg, oversampling_factor=4), p, True)
