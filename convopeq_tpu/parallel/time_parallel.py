@@ -42,11 +42,16 @@ def make_time_mesh(n_devices: int | None = None, devices=None,
     return Mesh(np.asarray(devs), (axis,))
 
 
-def time_parallel_nuc_convolve(x, state: NUCState, mesh, axis: str = TIME_AXIS):
+def time_parallel_nuc_convolve(x, state: NUCState, mesh, axis: str = TIME_AXIS,
+                               compiler_options: dict | None = None):
     """Convolve x (..., N) with a prepared NUCState, N sharded over `axis`.
 
     x must be evenly divisible by the mesh size along time.  Returns the
     sharded (..., N) output equal to `nuc_convolve(x, state)`.
+
+    compiler_options is forwarded to the XLA compile of the sharded
+    program (e.g. {"xla_backend_optimization_level": "0"} for
+    compile-time-critical CPU-mesh validation runs); None = default jit.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental.shard_map import shard_map
@@ -88,4 +93,9 @@ def time_parallel_nuc_convolve(x, state: NUCState, mesh, axis: str = TIME_AXIS):
     xs = jax.device_put(x, NamedSharding(mesh, spec_x))
     st = jax.device_put(jax.tree.map(np.asarray, state),
                         NamedSharding(mesh, P()))
+    if compiler_options is not None:
+        try:
+            return jax.jit(fn).lower(xs, st).compile(compiler_options)(xs, st)
+        except Exception:
+            pass
     return fn(xs, st)
