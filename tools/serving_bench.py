@@ -144,6 +144,44 @@ def main():
               f"window {budget_ms * M:.1f} ms, p99 {mstats['p99_ms']} ms, "
               f"xruns {xrun_m.xruns}/{ncalls}", file=sys.stderr)
 
+        # --- pipelined serving: per-BLOCK jitted steps enqueued
+        # asynchronously (JAX async dispatch), host fence once per M
+        # blocks.  Unlike multi-block dispatch this keeps single-block
+        # jit semantics (block latency = queue depth, not M re-framed);
+        # the transport round-trip is paid once per window, so the
+        # deadline contract is the M-block window. ---------------------
+        state = sc.init_state((ns,))
+        xrun_p = XrunDetector(SR, BLOCK * M)
+        pwalls = []
+        nwin = max(1, args.blocks // M)
+        for w in range(nwin):
+            t0 = time.perf_counter()
+            ys = None
+            for j in range(M):
+                state, y = sc.step(state, blocks[(w * M + j) % len(blocks)])
+                ys = y
+            float(reduce1(ys))           # one fence per window
+            dt = time.perf_counter() - t0
+            pwalls.append(dt)
+            xrun_p.record_step(dt)
+        pw = np.asarray(pwalls) * 1e3
+        pstats = {
+            "blocks_per_fence": M,
+            "window_budget_ms": round(budget_ms * M, 3),
+            "median_ms": round(float(np.median(pw)), 3),
+            "p90_ms": round(float(np.percentile(pw, 90)), 3),
+            "p99_ms": round(float(np.percentile(pw, 99)), 3),
+            "max_ms": round(float(pw.max()), 3),
+            "xruns": xrun_p.xruns,
+            "xrun_free": xrun_p.xruns == 0,
+            "streams_x_realtime": round(
+                ns * budget_ms * M / float(np.median(pw)), 1),
+        }
+        results["per_streams"][str(ns)]["pipelined"] = pstats
+        print(f"streams={ns} pipelined/{M}: median {pstats['median_ms']} "
+              f"ms / window {budget_ms * M:.1f} ms, p99 {pstats['p99_ms']} "
+              f"ms, xruns {xrun_p.xruns}/{nwin}", file=sys.stderr)
+
     out = os.path.join(REPO, "SERVING.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

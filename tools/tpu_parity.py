@@ -175,6 +175,37 @@ def main():
         print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
         flush()
 
+    # --- folded static-config mode (models/chain.py): the same LTI
+    # stages host-convolved into the IR at rebuild time; the runtime
+    # chain is sanitize -> unit-gain NUC -> scalar gains.  Exactness vs
+    # the staged cascade is pinned at ~1e-13 in f64 by the test suite,
+    # so this is the same contract at rebuild-time cost. -----------------
+    from convopeq_tpu.models.chain import (prepare_folded_convolver,
+                                           process_chain_fused)
+    cfg_lin = ChainConfig(sample_rate=SR)
+    for label, dtype, batch in (("dd(f64)_folded", jnp.float64, 4),
+                                ("f32_folded", jnp.float32, 4)):
+        conv_f = prepare_folded_convolver(
+            ir1m, 512, FilterSpec(sample_rate=SR), cfg_lin, eqp,
+            dtype=dtype)
+        fnf = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+            process_chain_fused(v, cfg_lin, c))))
+        xb = jax.device_put(
+            jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype), dev)
+        t0 = time.time()
+        float(fnf(xb, conv_f))
+        print(f"{label} compile+warm {time.time() - t0:.0f}s",
+              file=sys.stderr)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fnf(xb, conv_f))
+            walls.append(time.perf_counter() - t0)
+        rtf = batch * seconds / min(walls)
+        result[f"rtf_{label}"] = round(rtf, 1)
+        print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+        flush()
+
     print(json.dumps(result))
 
 
