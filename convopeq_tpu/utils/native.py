@@ -85,6 +85,25 @@ def load():
     lib.cq_interleave_f64_to_f32.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
         u64, u32, ctypes.c_double]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cq_sched_create.restype = ctypes.c_void_p
+    lib.cq_sched_create.argtypes = [u32, u32, ctypes.c_double, u32,
+                                    ctypes.c_double]
+    lib.cq_sched_destroy.argtypes = [ctypes.c_void_p]
+    lib.cq_sched_push.restype = ctypes.c_int
+    lib.cq_sched_push.argtypes = [ctypes.c_void_p, u32, f32p]
+    lib.cq_sched_gather.restype = u32
+    lib.cq_sched_gather.argtypes = [ctypes.c_void_p, f32p, u8p]
+    lib.cq_sched_commit.argtypes = [ctypes.c_void_p, f32p, u8p, u64]
+    lib.cq_sched_pop.restype = ctypes.c_int
+    lib.cq_sched_pop.argtypes = [ctypes.c_void_p, u32, f32p]
+    lib.cq_sched_in_ready.restype = u32
+    lib.cq_sched_in_ready.argtypes = [ctypes.c_void_p, u32]
+    dp = ctypes.POINTER(ctypes.c_double)
+    u64p = ctypes.POINTER(u64)
+    lib.cq_sched_stats.argtypes = [ctypes.c_void_p, u64p, u64p, u64p,
+                                   u64p, u64p, dp, dp, dp]
     _LIB = lib
     return lib
 
@@ -215,3 +234,80 @@ def interleave(planar_f64, gain: float = 1.0):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         frames, channels, gain)
     return out
+
+
+class NativeBlockScheduler:
+    """Serving front-end: per-stream SPSC input/output rings of stereo
+    blocks + one dispatcher that gathers a (n_streams, 2, block) batch,
+    with native deadline/XRUN accounting (native/convopeq_native.cpp
+    cq_sched_*; reference analog: the audio-callback plane of
+    AudioEngine.Processing.BlockDouble.cpp with the 1.5x-budget XRUN
+    contract, ARCHITECTURE.md:397)."""
+
+    def __init__(self, n_streams: int, block: int, sample_rate: float,
+                 capacity_blocks: int = 64, xrun_factor: float = 1.5):
+        self._lib = load()
+        self._h = self._lib.cq_sched_create(
+            n_streams, block, float(sample_rate), capacity_blocks,
+            float(xrun_factor))
+        if not self._h:
+            raise NativeUnavailable(
+                "cq_sched_create failed (capacity must be a power of two)")
+        self.n_streams = n_streams
+        self.block = block
+        self._f32p = ctypes.POINTER(ctypes.c_float)
+        self._u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.cq_sched_destroy(h)
+            self._h = None
+
+    def push(self, stream: int, block2ch) -> bool:
+        """Producer: push one (2, block) float block into a stream."""
+        b = np.ascontiguousarray(block2ch, np.float32)
+        if b.shape != (2, self.block):
+            raise ValueError(f"expected (2, {self.block}), got {b.shape}")
+        return bool(self._lib.cq_sched_push(
+            self._h, stream, b.ctypes.data_as(self._f32p)))
+
+    def gather(self):
+        """Dispatcher: (batch (n_streams, 2, block) f32, ready mask, n)."""
+        batch = np.empty((self.n_streams, 2, self.block), np.float32)
+        mask = np.empty(self.n_streams, np.uint8)
+        n = self._lib.cq_sched_gather(
+            self._h, batch.ctypes.data_as(self._f32p),
+            mask.ctypes.data_as(self._u8p))
+        return batch, mask, int(n)
+
+    def commit(self, ybatch, mask, wall_ns: int):
+        y = np.ascontiguousarray(ybatch, np.float32)
+        m = np.ascontiguousarray(mask, np.uint8)
+        self._lib.cq_sched_commit(self._h, y.ctypes.data_as(self._f32p),
+                                  m.ctypes.data_as(self._u8p), int(wall_ns))
+
+    def pop(self, stream: int):
+        """Consumer: pop one processed (2, block) f32 block or None."""
+        out = np.empty((2, self.block), np.float32)
+        if not self._lib.cq_sched_pop(self._h, stream,
+                                      out.ctypes.data_as(self._f32p)):
+            return None
+        return out
+
+    def in_ready(self, stream: int) -> int:
+        return int(self._lib.cq_sched_in_ready(self._h, stream))
+
+    def stats(self) -> dict:
+        u64 = ctypes.c_uint64
+        d = ctypes.c_double
+        served, under, xr, ovf, drop = u64(), u64(), u64(), u64(), u64()
+        avg, mx, budget = d(), d(), d()
+        self._lib.cq_sched_stats(
+            self._h, ctypes.byref(served), ctypes.byref(under),
+            ctypes.byref(xr), ctypes.byref(ovf), ctypes.byref(drop),
+            ctypes.byref(avg), ctypes.byref(mx), ctypes.byref(budget))
+        return {"served_blocks": served.value, "underruns": under.value,
+                "xruns": xr.value, "in_overflows": ovf.value,
+                "out_drops": drop.value, "avg_wall_ms": avg.value,
+                "max_wall_ms": mx.value, "budget_ms": budget.value}

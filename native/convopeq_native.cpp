@@ -342,4 +342,227 @@ uint64_t cq_mpsc_size_approx(void* qv) {
     return (uint64_t)(uint32_t)(w - d);
 }
 
+// ---------------------------------------------------------------------------
+// Block scheduler — the serving front-end plane (reference analog: the
+// audio-callback path AudioEngine.Processing.BlockDouble.cpp feeding the
+// DSP core, with the ISR deadline contract ARCHITECTURE.md:397: a block
+// is an XRUN when its wall time exceeds 1.5x the callback budget).
+//
+// Re-expressed for a batch device: N independent streams each own an SPSC
+// input ring and an SPSC output ring of fixed-size stereo blocks.  Any
+// number of producer threads (one per stream) push input blocks; ONE
+// dispatcher thread gathers one block per ready stream into a contiguous
+// (n_streams, 2, block) f32 batch, hands it to the accelerator step
+// (Python/JAX side), then commits the result batch back to the output
+// rings with deadline accounting.  Streams with no input ready are
+// zero-filled for the step (real-time semantics: an underrun plays
+// silence) and their output is not committed.
+// ---------------------------------------------------------------------------
+
+struct CqStreamRing {
+    float* data;              // cap_blocks * stride floats
+    std::atomic<uint64_t> w;  // block cursor
+    std::atomic<uint64_t> r;  // block cursor
+};
+
+struct CqSched {
+    uint32_t n_streams;
+    uint32_t block;           // samples per channel
+    uint32_t stride;          // floats per block record (2 * block)
+    uint32_t cap_blocks;      // power of two
+    uint64_t mask;
+    double budget_ns;
+    double xrun_ns;           // 1.5x budget
+    CqStreamRing* in;
+    CqStreamRing* out;
+    // stats (dispatcher-owned except drops)
+    std::atomic<uint64_t> served_blocks;
+    std::atomic<uint64_t> underruns;      // stream-blocks zero-filled
+    std::atomic<uint64_t> xruns;
+    std::atomic<uint64_t> in_overflows;   // producer pushes refused
+    std::atomic<uint64_t> out_drops;      // commits refused (consumer lag)
+    std::atomic<uint64_t> windows;        // commit calls (dispatch windows)
+    std::atomic<uint64_t> wall_ns_total;
+    std::atomic<uint64_t> wall_ns_max;
+};
+
+static bool cq_stream_ring_init(CqStreamRing* r, uint64_t cap_blocks,
+                                uint32_t stride) {
+    r->data = (float*)cq_aligned_alloc(cap_blocks * stride * sizeof(float));
+    if (!r->data) return false;
+    memset(r->data, 0, cap_blocks * stride * sizeof(float));
+    r->w.store(0, std::memory_order_relaxed);
+    r->r.store(0, std::memory_order_relaxed);
+    return true;
+}
+
+void* cq_sched_create(uint32_t n_streams, uint32_t block,
+                      double sample_rate, uint32_t capacity_blocks,
+                      double xrun_factor) {
+    if (n_streams == 0 || block == 0 || capacity_blocks == 0 ||
+        (capacity_blocks & (capacity_blocks - 1)) != 0 || sample_rate <= 0)
+        return nullptr;
+    CqSched* s = new (std::nothrow) CqSched();
+    if (!s) return nullptr;
+    s->n_streams = n_streams;
+    s->block = block;
+    s->stride = 2u * block;
+    s->cap_blocks = capacity_blocks;
+    s->mask = capacity_blocks - 1;
+    s->budget_ns = (double)block / sample_rate * 1e9;
+    s->xrun_ns = s->budget_ns * (xrun_factor > 0 ? xrun_factor : 1.5);
+    s->in = new (std::nothrow) CqStreamRing[n_streams];
+    s->out = new (std::nothrow) CqStreamRing[n_streams];
+    if (!s->in || !s->out) { delete[] s->in; delete[] s->out; delete s; return nullptr; }
+    for (uint32_t i = 0; i < n_streams; ++i) {
+        if (!cq_stream_ring_init(&s->in[i], capacity_blocks, s->stride) ||
+            !cq_stream_ring_init(&s->out[i], capacity_blocks, s->stride)) {
+            for (uint32_t j = 0; j <= i; ++j) {
+                cq_aligned_free(s->in[j].data);
+                cq_aligned_free(s->out[j].data);
+            }
+            delete[] s->in; delete[] s->out; delete s;
+            return nullptr;
+        }
+    }
+    s->served_blocks.store(0); s->underruns.store(0); s->xruns.store(0);
+    s->in_overflows.store(0); s->out_drops.store(0); s->windows.store(0);
+    s->wall_ns_total.store(0); s->wall_ns_max.store(0);
+    return s;
+}
+
+void cq_sched_destroy(void* sv) {
+    CqSched* s = (CqSched*)sv;
+    if (!s) return;
+    for (uint32_t i = 0; i < s->n_streams; ++i) {
+        cq_aligned_free(s->in[i].data);
+        cq_aligned_free(s->out[i].data);
+    }
+    delete[] s->in;
+    delete[] s->out;
+    delete s;
+}
+
+// Producer side: push one stereo block (stride floats, planar L then R)
+// into stream `i`'s input ring.  Returns 1, or 0 (ring full -> overflow
+// counted; the caller drops the block, real-time semantics).
+int cq_sched_push(void* sv, uint32_t i, const float* blk) {
+    CqSched* s = (CqSched*)sv;
+    if (i >= s->n_streams) return 0;
+    CqStreamRing* r = &s->in[i];
+    const uint64_t w = r->w.load(std::memory_order_relaxed);
+    const uint64_t rd = r->r.load(std::memory_order_acquire);
+    if (w - rd >= s->cap_blocks) {
+        s->in_overflows.fetch_add(1, std::memory_order_relaxed);
+        return 0;
+    }
+    memcpy(r->data + (w & s->mask) * s->stride, blk,
+           s->stride * sizeof(float));
+    r->w.store(w + 1, std::memory_order_release);
+    return 1;
+}
+
+// Dispatcher side: gather one block per stream into `batch`
+// (n_streams * stride floats, stream-major).  ready_mask[i] = 1 when the
+// stream had input; zero-filled (underrun) otherwise.  Returns the number
+// of ready streams.  A fully-idle poll (no stream ready) returns 0
+// WITHOUT consuming anything or counting underruns — only a window that
+// actually runs with a missing stream is an underrun.
+uint32_t cq_sched_gather(void* sv, float* batch, uint8_t* ready_mask) {
+    CqSched* s = (CqSched*)sv;
+    bool any = false;
+    for (uint32_t i = 0; i < s->n_streams && !any; ++i)
+        any = s->in[i].w.load(std::memory_order_acquire)
+            - s->in[i].r.load(std::memory_order_relaxed) >= 1;
+    if (!any) return 0;
+    uint32_t ready = 0;
+    for (uint32_t i = 0; i < s->n_streams; ++i) {
+        CqStreamRing* r = &s->in[i];
+        const uint64_t rd = r->r.load(std::memory_order_relaxed);
+        const uint64_t w = r->w.load(std::memory_order_acquire);
+        float* dst = batch + (uint64_t)i * s->stride;
+        if (w - rd >= 1) {
+            memcpy(dst, r->data + (rd & s->mask) * s->stride,
+                   s->stride * sizeof(float));
+            r->r.store(rd + 1, std::memory_order_release);
+            ready_mask[i] = 1;
+            ++ready;
+        } else {
+            memset(dst, 0, s->stride * sizeof(float));
+            ready_mask[i] = 0;
+            s->underruns.fetch_add(1, std::memory_order_relaxed);
+        }
+    }
+    return ready;
+}
+
+// Dispatcher side: commit the processed batch for the streams marked in
+// ready_mask; wall_ns is the measured step wall time for deadline
+// accounting (one XRUN per window whose wall exceeds the 1.5x contract).
+void cq_sched_commit(void* sv, const float* batch, const uint8_t* ready_mask,
+                     uint64_t wall_ns) {
+    CqSched* s = (CqSched*)sv;
+    for (uint32_t i = 0; i < s->n_streams; ++i) {
+        if (!ready_mask[i]) continue;
+        CqStreamRing* r = &s->out[i];
+        const uint64_t w = r->w.load(std::memory_order_relaxed);
+        const uint64_t rd = r->r.load(std::memory_order_acquire);
+        if (w - rd >= s->cap_blocks) {
+            s->out_drops.fetch_add(1, std::memory_order_relaxed);
+            continue;
+        }
+        memcpy(r->data + (w & s->mask) * s->stride,
+               batch + (uint64_t)i * s->stride, s->stride * sizeof(float));
+        r->w.store(w + 1, std::memory_order_release);
+        s->served_blocks.fetch_add(1, std::memory_order_relaxed);
+    }
+    if ((double)wall_ns > s->xrun_ns)
+        s->xruns.fetch_add(1, std::memory_order_relaxed);
+    s->windows.fetch_add(1, std::memory_order_relaxed);
+    s->wall_ns_total.fetch_add(wall_ns, std::memory_order_relaxed);
+    uint64_t prev = s->wall_ns_max.load(std::memory_order_relaxed);
+    while (wall_ns > prev &&
+           !s->wall_ns_max.compare_exchange_weak(prev, wall_ns)) {}
+}
+
+// Consumer side: pop one processed stereo block for stream i.  Returns 1
+// or 0 (none ready).
+int cq_sched_pop(void* sv, uint32_t i, float* blk) {
+    CqSched* s = (CqSched*)sv;
+    if (i >= s->n_streams) return 0;
+    CqStreamRing* r = &s->out[i];
+    const uint64_t rd = r->r.load(std::memory_order_relaxed);
+    const uint64_t w = r->w.load(std::memory_order_acquire);
+    if (w - rd < 1) return 0;
+    memcpy(blk, r->data + (rd & s->mask) * s->stride,
+           s->stride * sizeof(float));
+    r->r.store(rd + 1, std::memory_order_release);
+    return 1;
+}
+
+uint32_t cq_sched_in_ready(void* sv, uint32_t i) {
+    CqSched* s = (CqSched*)sv;
+    if (i >= s->n_streams) return 0;
+    CqStreamRing* r = &s->in[i];
+    return (uint32_t)(r->w.load(std::memory_order_acquire)
+                      - r->r.load(std::memory_order_acquire));
+}
+
+void cq_sched_stats(void* sv, uint64_t* served, uint64_t* underruns,
+                    uint64_t* xruns, uint64_t* in_overflows,
+                    uint64_t* out_drops, double* avg_wall_ms,
+                    double* max_wall_ms, double* budget_ms) {
+    CqSched* s = (CqSched*)sv;
+    const uint64_t tot = s->wall_ns_total.load(std::memory_order_relaxed);
+    const uint64_t win = s->windows.load(std::memory_order_relaxed);
+    *served = s->served_blocks.load(std::memory_order_relaxed);
+    *underruns = s->underruns.load(std::memory_order_relaxed);
+    *xruns = s->xruns.load(std::memory_order_relaxed);
+    *in_overflows = s->in_overflows.load(std::memory_order_relaxed);
+    *out_drops = s->out_drops.load(std::memory_order_relaxed);
+    *avg_wall_ms = win ? (double)tot / 1e6 / (double)win : 0.0;
+    *max_wall_ms = (double)s->wall_ns_max.load(std::memory_order_relaxed) / 1e6;
+    *budget_ms = s->budget_ns / 1e6;
+}
+
 }  // extern "C"

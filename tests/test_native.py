@@ -152,3 +152,109 @@ def test_mpsc_ring_multiproducer():
         i = int.from_bytes(r[4:], "little")
         assert i > last[pid]
         last[pid] = i
+
+
+def test_block_scheduler_basics():
+    """Native cq_sched: push/gather/commit/pop mechanics + stats."""
+    from convopeq_tpu.utils.native import NativeBlockScheduler
+    sched = NativeBlockScheduler(2, 64, 48000.0, capacity_blocks=4)
+    rng = np.random.default_rng(0)
+    b0 = rng.normal(size=(2, 64)).astype(np.float32)
+    assert sched.push(0, b0)
+    # idle streams: stream 1 has nothing; gather runs (stream 0 ready)
+    batch, mask, n = sched.gather()
+    assert n == 1 and mask[0] == 1 and mask[1] == 0
+    np.testing.assert_array_equal(batch[0], b0)
+    np.testing.assert_array_equal(batch[1], 0.0)
+    # commit only the ready stream; wall over 1.5x budget -> one XRUN
+    y = batch * 2.0
+    sched.commit(y, mask, int(64 / 48000.0 * 1e9 * 2.0))
+    out = sched.pop(0)
+    np.testing.assert_array_equal(out, b0 * 2.0)
+    assert sched.pop(1) is None
+    st = sched.stats()
+    assert st["served_blocks"] == 1 and st["xruns"] == 1
+    assert st["underruns"] == 1            # stream 1 in the served window
+    # fully-idle poll: consumes nothing, counts nothing
+    _, _, n2 = sched.gather()
+    assert n2 == 0
+    assert sched.stats()["underruns"] == 1
+    # overflow accounting: capacity 4 blocks
+    for _ in range(4):
+        assert sched.push(1, b0)
+    assert not sched.push(1, b0)
+    assert sched.stats()["in_overflows"] == 1
+    assert sched.in_ready(1) == 4
+
+
+def test_native_serving_loop_threaded_equivalence():
+    """Producer threads feed the native scheduler; the serving loop's
+    outputs per stream must EQUAL running the same blocks through
+    StreamingChain.step directly (same order, same state thread)."""
+    import threading
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import ChainConfig
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.nuc import FilterSpec, nuc_prepare
+    from convopeq_tpu.runtime.streaming import StreamingChain
+    from convopeq_tpu.runtime.native_serving import NativeServingLoop
+
+    rng = np.random.default_rng(3)
+    sr, block, ns, nblocks = 48000.0, 512, 3, 12
+    ir = rng.normal(size=3000) * np.exp(-np.arange(3000) / 500.0) * 0.1
+    nuc = nuc_prepare(jnp.asarray(ir), block, FilterSpec(sample_rate=sr))
+    eqp = EQParams()
+    eqp.gains_db[:] = np.linspace(-3.0, 3.0, 20)
+    cfg = ChainConfig(sample_rate=sr)
+
+    blocks = rng.normal(size=(nblocks, ns, 2, block)).astype(np.float32) * 0.2
+
+    # ground truth: the same chain stepped directly, same block order
+    sc_ref = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32)
+    st = sc_ref.init_state((ns,))
+    want = []
+    for k in range(nblocks):
+        st, y = sc_ref.step(st, jnp.asarray(blocks[k]))
+        want.append(np.asarray(y))
+
+    loop = NativeServingLoop(StreamingChain(cfg, eqp, nuc,
+                                            dtype=jnp.float32), ns)
+
+    # producers: one thread per stream, pushing with tiny jitter; the
+    # dispatcher may idle-poll between pushes but the PER-WINDOW block
+    # alignment is enforced by pushing block k everywhere before k+1
+    # (barrier), so the batch composition matches the ground truth.
+    barrier = threading.Barrier(ns + 1)
+
+    def produce(si):
+        for k in range(nblocks):
+            barrier.wait()
+            assert loop.push(si, blocks[k][si])
+            barrier.wait()
+
+    threads = [threading.Thread(target=produce, args=(si,))
+               for si in range(ns)]
+    for t in threads:
+        t.start()
+
+    got = [[] for _ in range(ns)]
+    for k in range(nblocks):
+        barrier.wait()   # producers push block k
+        barrier.wait()   # all pushed
+        served = loop.serve_window()
+        assert served == ns
+        for si in range(ns):
+            blk = loop.pop(si)
+            assert blk is not None
+            got[si].append(blk)
+    for t in threads:
+        t.join()
+
+    for si in range(ns):
+        np.testing.assert_allclose(
+            np.concatenate([g[None] for g in got[si]]),
+            np.concatenate([w[si][None] for w in want]), atol=1e-6)
+
+    st = loop.stats()
+    assert st["served_blocks"] == ns * nblocks
+    assert st["underruns"] == 0 and st["out_drops"] == 0
