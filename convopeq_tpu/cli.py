@@ -38,6 +38,52 @@ def parse_eq_band(spec: str):
     return idx, btype, freq, gain, q, mode
 
 
+def _serve_blocks(eng, x):
+    """Run (2, N) through the native serving front-end: a producer thread
+    pushes blocks into the C++ scheduler's SPSC ring, the dispatcher
+    gathers/steps/commits with deadline accounting, and the consumer
+    drains processed blocks.  Prints the native stats line."""
+    import threading
+    import time as _t
+
+    from .runtime.native_serving import NativeServingLoop
+
+    sc = eng.streaming_chain()
+    bs = sc.block_size
+    n = x.shape[-1]
+    pad = (-n) % bs
+    if pad:
+        x = np.pad(x, [(0, 0), (0, pad)])
+    nb = x.shape[-1] // bs
+    loop = NativeServingLoop(sc, 1)
+
+    def produce():
+        for k in range(nb):
+            blk = np.asarray(x[:, k * bs:(k + 1) * bs], np.float32)
+            while not loop.push(0, blk):
+                _t.sleep(1e-4)          # ring full: back off
+
+    th = threading.Thread(target=produce)
+    th.start()
+    got = []
+    deadline = _t.monotonic() + 600.0
+    while len(got) < nb and _t.monotonic() < deadline:
+        if not loop.serve_window():
+            _t.sleep(1e-4)
+        while True:
+            out = loop.pop(0)
+            if out is None:
+                break
+            got.append(out)
+    th.join()
+    st = loop.stats()
+    print(f"serving: {st['served_blocks']} blocks of {bs}, "
+          f"xruns {st['xruns']}, underruns {st['underruns']}, "
+          f"avg {st['avg_wall_ms']:.2f} ms / budget {st['budget_ms']:.2f} "
+          f"ms, max {st['max_wall_ms']:.2f} ms")
+    return np.concatenate(got, axis=-1)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="convopeq_tpu",
                                  description="TPU-native ConvoPeq processor")
@@ -64,6 +110,11 @@ def main(argv=None):
                     help="print LUFS + true peak of the output")
     ap.add_argument("--f64", action="store_true",
                     help="run on CPU in float64 (exactness mode)")
+    ap.add_argument("--serve", action="store_true",
+                    help="process through the native block-scheduler "
+                         "serving path (producer thread -> C++ rings -> "
+                         "jitted per-block step) and print deadline stats "
+                         "(dither/auto-gain post stages are offline-only)")
     args = ap.parse_args(argv)
 
     if args.f64:
@@ -128,7 +179,10 @@ def main(argv=None):
     if pad:
         x = np.pad(x, [(0, 0), (0, pad)])
 
-    y = np.asarray(eng.process(jnp.asarray(x)))[..., :n]
+    if args.serve:
+        y = _serve_blocks(eng, x)[..., :n]
+    else:
+        y = np.asarray(eng.process(jnp.asarray(x)))[..., :n]
 
     lb = eng.latency_breakdown()
     print(f"latency: algorithm {lb.algorithm_latency_samples} + "

@@ -34,7 +34,7 @@ class NativeServingLoop:
     """Dispatcher between the native block scheduler and a StreamingChain."""
 
     def __init__(self, chain, n_streams: int, capacity_blocks: int = 64,
-                 xrun_factor: float = 1.5):
+                 xrun_factor: float = 1.5, warmup: bool = True):
         import jax.numpy as jnp
         self.chain = chain
         self.n_streams = n_streams
@@ -44,6 +44,12 @@ class NativeServingLoop:
             capacity_blocks=capacity_blocks, xrun_factor=xrun_factor)
         self.state = chain.init_state((n_streams,))
         self._jnp = jnp
+        if warmup:
+            # prepareToPlay analog: compile + warm the step on silence so
+            # the first served window's wall is serving, not compilation
+            z = jnp.zeros((n_streams, 2, self.block), chain.dtype)
+            _, y = chain.step(self.state, z)
+            np.asarray(y)
 
     # producer / consumer pass-throughs -------------------------------
     def push(self, stream: int, block2ch) -> bool:
