@@ -52,13 +52,23 @@ def clamp_params(freq, gain_db, q, sample_rate):
     Host-side NumPy: the reference computes coefficients on the message
     thread with libm; we do the same on the host because XLA-CPU/TPU
     transcendentals (tan/pow) are not correctly rounded in f64.
+
+    The reference's parameter plane is FLOAT32 (the API takes `float`
+    freq/gain/q and jlimit clamps in f32 before widening to double), so
+    the clamp runs in f32 here too — e.g. q below the floor clamps to
+    0.01f = 0.00999999977..., not f64 0.01.  Pinned bit-for-bit by
+    tests/test_ref_vectors.py::test_svf_coeffs_match_reference.
     """
-    nyquist = sample_rate * 0.5
-    max_freq = np.minimum(DSP_MAX_FREQ, nyquist * DSP_MAX_FREQ_NYQUIST_RATIO)
-    freq = np.clip(freq, DSP_MIN_FREQ, max_freq)
-    q = np.clip(q, DSP_MIN_Q, DSP_MAX_Q)
-    gain_db = np.clip(gain_db, DSP_MIN_GAIN_DB, DSP_MAX_GAIN_DB)
-    return freq, gain_db, q
+    f32 = np.float32
+    nyquist = f32(np.asarray(sample_rate, np.float64) * 0.5)
+    max_freq = np.minimum(f32(DSP_MAX_FREQ),
+                          nyquist * f32(DSP_MAX_FREQ_NYQUIST_RATIO))
+    freq = np.clip(np.asarray(freq, f32), f32(DSP_MIN_FREQ), max_freq)
+    q = np.clip(np.asarray(q, f32), f32(DSP_MIN_Q), f32(DSP_MAX_Q))
+    gain_db = np.clip(np.asarray(gain_db, f32), f32(DSP_MIN_GAIN_DB),
+                      f32(DSP_MAX_GAIN_DB))
+    return (freq.astype(np.float64), gain_db.astype(np.float64),
+            q.astype(np.float64))
 
 
 def svf_coeffs(band_type, freq, gain_db, q, sample_rate):

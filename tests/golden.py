@@ -33,11 +33,16 @@ def fast_tanh_softclip(x: float) -> float:
 
 def svf_coeffs_golden(band_type: int, freq: float, gain_db: float, q: float,
                       sr: float):
-    """calcSVFCoeffs — per-sample C++ formulas, types 0..4."""
-    nyq = sr * 0.5
-    freq = min(max(freq, 20.0), min(20000.0, nyq * 0.95))
-    q = min(max(q, 0.01), 20.0)
-    gain_db = min(max(gain_db, -48.0), 48.0)
+    """calcSVFCoeffs — per-sample C++ formulas, types 0..4.
+
+    The reference clamps in FLOAT32 (its parameter API is float); the
+    vectors dumped from its own code pin this (tests/test_ref_vectors)."""
+    f32 = np.float32
+    nyq = f32(sr * 0.5)
+    freq = float(min(max(f32(freq), f32(20.0)),
+                     min(f32(20000.0), f32(nyq * f32(0.95)))))
+    q = float(min(max(f32(q), f32(0.01)), f32(20.0)))
+    gain_db = float(min(max(f32(gain_db), f32(-48.0)), f32(48.0)))
 
     A = 10.0 ** (gain_db / 40.0)
     if band_type == 0:      # LowShelf

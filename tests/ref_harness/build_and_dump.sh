@@ -19,3 +19,17 @@ g++ -std=c++20 -O2 -I"$REF/src" -I"$HERE/stub_include" \
     -o /tmp/dump_autogain
 /tmp/dump_autogain > "$OUT/autogain.json"
 echo "wrote $OUT/autogain.json"
+
+# SVF coefficients: extract the reference's own function bodies verbatim
+# (validateAndClampParameters + calcSVFCoeffs + the five calc*SVF) from
+# EQProcessor.Coefficients.cpp, strip the member qualifier, compile them
+# inside dump_svf.cpp's minimal shim, and run.  The reference code never
+# enters the repo — only the dumped vectors do.
+awk '
+  /^(void|EQCoeffsSVF) EQProcessor::(validateAndClampParameters|calcSVFCoeffs|calc(LowShelf|Peaking|HighShelf|LowPass|HighPass)SVF)\(/ {p=1}
+  p {sub(/EQProcessor::/, ""); print}
+  p && /^}/ {p=0}
+' "$REF/src/eqprocessor/EQProcessor.Coefficients.cpp" > /tmp/svf_extract.inc
+g++ -std=c++20 -O2 "$HERE/dump_svf.cpp" -o /tmp/dump_svf
+/tmp/dump_svf > "$OUT/svf_coeffs.json"
+echo "wrote $OUT/svf_coeffs.json"

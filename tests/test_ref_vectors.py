@@ -117,3 +117,29 @@ def test_fixed15_default_coeffs_match_header():
     vals = _parse_table_floats(src[idx - 2: idx + 2000])
     np.testing.assert_allclose(ours, np.asarray(vals[: len(ours)]),
                                rtol=0, atol=0)
+
+
+def test_svf_coeffs_match_reference():
+    """SVF coefficient formulas vs 14,400 vectors produced by the
+    reference's OWN calcSVFCoeffs/calc*SVF bodies (extracted verbatim and
+    executed by tests/ref_harness/dump_svf.cpp; includes the clamp paths —
+    out-of-range freq/gain/q — and four sample rates)."""
+    import json
+    from convopeq_tpu.ops.svf import clamp_params, svf_coeffs
+    rows = json.load(open(os.path.join(VEC, "svf_coeffs.json")))
+    bt = np.asarray([r["type"] for r in rows])
+    # the reference API takes float32 parameters; %.9g roundtrips binary32
+    # only when parsed AS float32 — recover the exact f32 value first
+    as_f32 = lambda k: np.asarray([r[k] for r in rows],
+                                  np.float32).astype(np.float64)
+    f, g, q = as_f32("freq"), as_f32("gain_db"), as_f32("q")
+    sr = np.asarray([r["sr"] for r in rows])
+    want = {k: np.asarray([r[k] for r in rows])
+            for k in ("a1", "a2", "a3", "m0", "m1", "m2")}
+    fc, gc, qc = clamp_params(f, g, q, sr)
+    a1, a2, a3, m0, m1, m2 = svf_coeffs(bt, fc, gc, qc, sr)
+    for name, ours in (("a1", a1), ("a2", a2), ("a3", a3),
+                       ("m0", m0), ("m1", m1), ("m2", m2)):
+        np.testing.assert_allclose(
+            np.asarray(ours), want[name], rtol=5e-14, atol=1e-300,
+            err_msg=f"SVF coefficient {name} diverges from the reference")
