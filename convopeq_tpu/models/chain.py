@@ -336,9 +336,35 @@ def process_chain_fused(x, cfg: ChainConfig, conv_state, prefilter=None):
     return y
 
 
+def throughput_partition_size(ir_len: int) -> int:
+    """Partition size for the offline single-layer throughput plan.
+
+    The reference's 3-layer non-uniform plan exists to bound REAL-TIME
+    latency (L0 small for fast first output, tails amortized across
+    callbacks — MKLNonUniformConvolver.h:17-31).  Offline, latency is
+    irrelevant and every extra layer is an extra full pass over the
+    signal (its own forward transform / MAC / inverse pipeline), so the
+    throughput-optimal plan is ONE uniform layer with a large partition.
+    Measured on v5e (1M-tap IR, 64 stream-channels x 60 s):
+
+        3-layer reference plan   412 ms   (RTF 4.7k)
+        1 layer p=8192  x131     157 ms
+        1 layer p=16384 x66      144 ms   <- flattest point
+        1 layer p=32768 x33      149 ms
+        1 layer p=131072 x9      189 ms   (FFT cost dominates)
+
+    The optimum is flat around p≈16k: smaller p grows the MAC band
+    (num_parts), larger p grows the per-frame transform cost.  Exactness
+    is untouched — any partitioning computes the same linear convolution
+    (single-layer f32 tracks the 3-layer f32 output at ~4e-6 relative,
+    i.e. below the f32 chain floor)."""
+    p = next_pow2(max(1024, ir_len // 64))
+    return min(p, 16384)
+
+
 def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
                              eq_params: EQParams | None, eps: float = 1e-10,
-                             dtype=None):
+                             dtype=None, partition: int | str | None = "auto"):
     """Deepest static-config fusion: host-convolve the folded LTI
     prefilter (dc blockers, EQ, output filter, HC/LC curve) into the IR
     ITSELF, then prepare the NUC on the combined response — the runtime
@@ -361,10 +387,18 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
     ~`tail` samples longer, so layer counts grow marginally; AIR tail
     mode (per-layer damping is inside the layer sum, not a global LTI
     factor) stays ineligible.
+
+    `partition` selects the NUC partitioning of the combined IR (pure
+    evaluation detail — every choice computes the same exact linear
+    convolution):
+      "auto" (default): single-layer throughput plan
+        (`throughput_partition_size` — ~2.8x the 3-layer plan on v5e);
+      an int: single-layer plan at that partition size;
+      None: the reference's 3-layer plan (unit gains).
     """
     import numpy as np
-    from .convolver import stereo_prepare
-    from .nuc import plan_layers
+    from .convolver import StereoConvolverState, stereo_prepare
+    from .nuc import nuc_prepare_uniform, plan_layers
     ir = np.asarray(ir, np.float64)
     if ir.ndim == 1:
         ir = np.stack([ir, ir])
@@ -382,6 +416,13 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
                             m)[:, :ir.shape[-1] + g.shape[0] - 1]
     if dtype is None:
         dtype = jnp.zeros(()).dtype
+    if partition is not None:
+        if partition == "auto":
+            partition = throughput_partition_size(combined.shape[-1])
+        cj = jnp.asarray(combined, dtype)
+        return StereoConvolverState(
+            left=nuc_prepare_uniform(cj[0], int(partition), block_size),
+            right=nuc_prepare_uniform(cj[1], int(partition), block_size))
     return stereo_prepare(jnp.asarray(combined, dtype), block_size, spec,
                           apply_spectrum_filter=False,
                           unit_layer_gains=True)

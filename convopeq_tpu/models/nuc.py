@@ -277,6 +277,25 @@ def nuc_prepare(ir, block_size: int, spec: FilterSpec | None = None,
     return NUCState(plan=plan, layer_spectra=spectra, direct_ir=direct_ir)
 
 
+def nuc_prepare_uniform(ir, part_size: int, block_size: int = 512) -> NUCState:
+    """Single-layer uniform plan: plain exact partitioned convolution.
+
+    The offline throughput plan (models/chain.py::throughput_partition_size):
+    one uniform layer, unit gain, no spectrum filter — for callers that have
+    already baked every gain/filter into `ir` itself (the folded
+    static-config mode).  Any partitioning computes the same linear
+    convolution; this one minimizes passes over the signal on TPU."""
+    ir = jnp.asarray(ir)
+    n = int(np.shape(ir)[-1])
+    nparts = -(-n // part_size)
+    plan = NUCPlan(
+        layers=(NUCLayerPlan(offset=0, length=n, part_size=part_size,
+                             num_parts=nparts, gain=1.0, damping=None),),
+        direct_taps=0, latency=part_size, block_size=block_size, ir_len=n)
+    H = partition_spectra(ir, part_size, nparts, dtype=ir.dtype)
+    return NUCState(plan=plan, layer_spectra=[H], direct_ir=None)
+
+
 def nuc_convolve(x, state: NUCState):
     """Offline NUC convolution of x (..., N) -> (..., N).
 

@@ -54,7 +54,14 @@ def time_parallel_nuc_convolve(x, state: NUCState, mesh, axis: str = TIME_AXIS,
     compile-time-critical CPU-mesh validation runs); None = default jit.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:                                   # jax >= 0.8 (kw-only API)
+        from jax import shard_map as _sm
+
+        def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=check_rep)
+    except ImportError:                    # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     n = x.shape[-1]
     d = mesh.shape[axis]

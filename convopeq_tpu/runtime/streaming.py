@@ -458,7 +458,8 @@ class StreamingChain:
                 x = chans[ch]
                 for si, c in enumerate(stages):
                     x, s = self._biquad(x, c, new_states[..., ch, si, :])
-                    new_states = new_states.at[..., ch, si, :].set(s)
+                    new_states = new_states.at[..., ch, si, :].set(
+                        jnp.asarray(s, new_states.dtype))
                 chans[ch] = x
             return chans[0], chans[1], new_states
 

@@ -339,6 +339,18 @@ def test_fused_chain_matches_exact_cascade():
         / np.sqrt(np.mean(y_lin ** 2))
     assert rel_f < 1e-9, rel_f
 
+    # partitioning is a pure evaluation detail: the single-layer
+    # throughput plan (default), an explicit partition size, and the
+    # reference 3-layer plan all compute the same convolution
+    for part in (None, 4096):
+        conv_alt = prepare_folded_convolver(ir, 512, spec, cfg, p,
+                                            eps=1e-10, partition=part)
+        y_alt = np.asarray(process_chain_fused(jnp.asarray(x), cfg,
+                                               conv_alt))
+        rel_p = np.sqrt(np.mean((y_alt - y_fold) ** 2)) \
+            / np.sqrt(np.mean(y_fold ** 2))
+        assert rel_p < 1e-11, (part, rel_p)
+
     # ineligibility guards: M/S band, soft clip, wet/dry
     p2 = EQParams()
     p2.set_band(0, mode=3, gain_db=3.0)
