@@ -234,7 +234,8 @@ class StreamingChain:
 
     def __init__(self, cfg, eq_params: EQParams | None,
                  conv_state: NUCState | None = None,
-                 conv_state_r: NUCState | None = None, dtype=jnp.float32):
+                 conv_state_r: NUCState | None = None, dtype=jnp.float32,
+                 donate_state: bool = False):
         from ..models.chain import resolve_oversampling_factor
         from ..ops.oversample import make_stages
         self.cfg = cfg
@@ -278,7 +279,13 @@ class StreamingChain:
                 direct)
         else:
             self._conv_args = ((None, None), None)
-        self._step = jax.jit(self._make_step())
+        # donate_state=True lets XLA update the carried StreamState in
+        # place (the FDL spectra dominate: ~16 MB/stream for a 1M-tap IR,
+        # so two live copies halve the stream capacity of a 16 GB chip).
+        # Safe for serving loops that always overwrite their state
+        # (st, y = chain.step(st, x)); donation is ignored on CPU.
+        self._donate = (0,) if donate_state else ()
+        self._step = jax.jit(self._make_step(), donate_argnums=self._donate)
         self._multi = None
 
     # ------------------------------------------------------------ state
@@ -634,7 +641,7 @@ class StreamingChain:
                     return step(st, blk, conv_args)
                 return jax.lax.scan(body, state, xs)
 
-            self._multi = jax.jit(multi)
+            self._multi = jax.jit(multi, donate_argnums=self._donate)
         bs = self.block_size
         xs = blocks.reshape(blocks.shape[:-1] + (m, bs))
         xs = jnp.moveaxis(xs, -2, 0)                  # (M, ..., 2, bs)

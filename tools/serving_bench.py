@@ -63,7 +63,11 @@ def main():
                "per_streams": {}}
 
     for ns in args.streams:
-        sc = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32)
+        # donate_state: XLA updates the carried state in place — without
+        # it two live FDL copies (16 MB/stream at 1M taps) OOM the
+        # windowed modes at 256 streams on a 16 GB chip
+        sc = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32,
+                            donate_state=True)
         state = sc.init_state((ns,))
         # pre-stage ALL input blocks on device: the serving loop should
         # measure the step, not host->device input transfer of test data
