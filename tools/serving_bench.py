@@ -61,6 +61,18 @@ def main():
                "budget_ms": round(budget_ms, 3),
                "ir_taps": args.ir_taps, "blocks": args.blocks,
                "per_streams": {}}
+    # merge semantics: a partial re-run (--streams N) refreshes only the
+    # measured stream counts, keeping the rest of the artifact
+    path = os.path.join(REPO, "SERVING.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("ir_taps") == args.ir_taps and \
+                    prev.get("blocks") == args.blocks:
+                results["per_streams"] = prev.get("per_streams", {})
+        except Exception:
+            pass
 
     for ns in args.streams:
         # donate_state: XLA updates the carried state in place — without
