@@ -99,6 +99,42 @@ FIXED15_DEFAULT = np.array([2.172009, -2.313034, 2.092949, -1.698718,
                             0.251068, -0.141026, 0.072650, -0.033120,
                             0.012821, -0.004274, 0.001068, 0.0])
 
+# Fixed15TapNoiseShaper COEFF_PRESETS (src/Fixed15TapNoiseShaper.h:352-374):
+# prepare() interpolates these by sample rate over FIXED4_PRESET_RATES
+# (same grid); the 48 kHz row equals FIXED15_DEFAULT.
+FIXED15_PRESETS = np.array([
+    [2.157553, -2.356649, 2.179194, -1.802605, 1.429476, -1.073975,
+     0.775233, -0.535496, 0.360294, -0.229526, 0.143225, -0.081483,
+     0.045992, -0.021109, 0.009877, 0.0],
+    [2.172009, -2.313034, 2.092949, -1.698718, 1.304487, -0.946581,
+     0.645299, -0.415598, 0.251068, -0.141026, 0.072650, -0.033120,
+     0.012821, -0.004274, 0.001068, 0.0],
+    [1.458665, -1.271063, 1.372588, -1.257752, 1.186326, -1.042666,
+     0.931875, -0.787020, 0.671068, -0.541164, 0.438950, -0.333234,
+     0.250772, -0.174640, 0.097295, 0.0],
+    [1.366976, -1.123204, 1.234291, -1.119397, 1.063887, -0.931030,
+     0.838107, -0.707665, 0.608977, -0.492384, 0.404256, -0.308827,
+     0.236248, -0.167088, 0.096853, 0.0],
+    [0.892356, -0.425055, 0.645737, -0.531778, 0.565511, -0.483687,
+     0.474500, -0.404025, 0.379228, -0.317474, 0.286683, -0.233505,
+     0.199702, -0.166141, 0.117948, 0.0],
+    [0.842437, -0.356337, 0.593464, -0.477529, 0.519248, -0.440863,
+     0.438827, -0.372969, 0.354221, -0.297057, 0.271334, -0.222591,
+     0.192842, -0.164283, 0.119255, 0.0],
+    [0.576947, -0.000943, 0.355358, -0.225398, 0.306449, -0.241465,
+     0.271718, -0.228634, 0.237327, -0.205281, 0.201703, -0.179310,
+     0.166143, -0.176849, 0.142236, 0.0],
+    [0.550200, 0.035746, 0.334748, -0.202925, 0.287573, -0.223403,
+     0.255932, -0.214959, 0.225551, -0.196308, 0.194281, -0.175339,
+     0.163224, -0.180050, 0.145728, 0.0],
+    [0.403358, 0.274330, 0.229984, -0.085257, 0.190310, -0.131467,
+     0.169688, -0.142598, 0.154703, -0.144947, 0.142117, -0.148598,
+     0.132904, -0.195545, 0.151017, 0.0],
+    [0.390229, 0.306061, 0.221612, -0.075413, 0.182734, -0.125438,
+     0.162912, -0.138648, 0.149015, -0.142960, 0.137870, -0.149116,
+     0.130580, -0.202133, 0.152692, 0.0],
+])
+
 LATTICE_COEFF_LIMIT = 0.85       # clampCoeff (LatticeNoiseShaper.h:116)
 LATTICE_STATE_LIMIT = 2.0        # kLatticeStateLimit (advanceState)
 ERROR_CLAMP_FACTOR = 2.0         # error clamp +-2*scale
@@ -117,16 +153,27 @@ def psycho_coeffs(sample_rate: float, bit_depth: int) -> np.ndarray:
     return PSYCHO_COEFF_TABLE[psycho_sr_band(sample_rate)][bp].copy()
 
 
-def fixed4_coeffs(sample_rate: float) -> np.ndarray:
-    """selectPresetWithInterpolation (FixedNoiseShaper.h:316-340)."""
+def _preset_interp(sample_rate: float, presets: np.ndarray) -> np.ndarray:
+    """selectPresetWithInterpolation (FixedNoiseShaper.h:316-340 /
+    Fixed15TapNoiseShaper.h:372-398 — same logic, same rate grid)."""
     r = FIXED4_PRESET_RATES
     if sample_rate <= r[0]:
-        return FIXED4_PRESETS[0].copy()
+        return presets[0].copy()
     if sample_rate >= r[-1]:
-        return FIXED4_PRESETS[-1].copy()
+        return presets[-1].copy()
     i = int(np.searchsorted(r, sample_rate, side="right")) - 1
     t = (sample_rate - r[i]) / (r[i + 1] - r[i])
-    return (1.0 - t) * FIXED4_PRESETS[i] + t * FIXED4_PRESETS[i + 1]
+    return (1.0 - t) * presets[i] + t * presets[i + 1]
+
+
+def fixed4_coeffs(sample_rate: float) -> np.ndarray:
+    return _preset_interp(sample_rate, FIXED4_PRESETS)
+
+
+def fixed15_coeffs(sample_rate: float) -> np.ndarray:
+    """The reference's prepare() selects from COEFF_PRESETS, not the
+    member default (Fixed15TapNoiseShaper.h:88-107)."""
+    return _preset_interp(sample_rate, FIXED15_PRESETS)
 
 
 def quant_scales(bit_depth: int):
@@ -175,9 +222,41 @@ XOSHIRO_SEEDS = [
 ]
 
 
-def xoshiro_uniforms(n: int, channel: int = 0) -> np.ndarray:
-    rng = Xoshiro256pp(XOSHIRO_SEEDS[channel % len(XOSHIRO_SEEDS)])
+def xoshiro_uniforms(n: int, channel: int = 0, seeds=None) -> np.ndarray:
+    """Uniform stream from the reference's Xoshiro256++; `seeds` overrides
+    the per-channel constant seeds (e.g. fixed15_xoshiro_seeds)."""
+    if seeds is None:
+        seeds = XOSHIRO_SEEDS[channel % len(XOSHIRO_SEEDS)]
+    rng = Xoshiro256pp(seeds)
     return np.array([rng.uniform() for _ in range(n)])
+
+
+def _splitmix64(state: int):
+    state = (state + 0x9E3779B97F4A7C15) & _M64
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return state, z ^ (z >> 31)
+
+
+def fixed15_xoshiro_seeds(sample_rate: float, bit_depth: int,
+                          channel: int = 0):
+    """Fixed15TapNoiseShaper::initializeRandomStates
+    (Fixed15TapNoiseShaper.h:407-427): splitmix64 stream seeded from
+    bit_cast(sampleRate) ^ (bits<<32) ^ const, decorrelated per channel."""
+    import struct
+    seed = struct.unpack("<Q", struct.pack("<d", float(sample_rate)))[0]
+    seed ^= (int(bit_depth) & _M64) << 32
+    seed &= _M64
+    seed ^= 0xD1B54A32D192ED03
+    stream = seed ^ ((0x9E3779B97F4A7C15 * (channel + 1)) & _M64)
+    s = []
+    for _ in range(4):
+        stream, v = _splitmix64(stream)
+        s.append(v)
+    if (s[0] | s[1] | s[2] | s[3]) == 0:
+        s[0] = 1
+    return tuple(s)
 
 
 def tpdf_from_uniforms(u: jnp.ndarray) -> jnp.ndarray:
@@ -265,9 +344,14 @@ def _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp: bool):
 
 
 def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
-                        headroom: float = K_OUTPUT_HEADROOM):
+                        headroom: float = K_OUTPUT_HEADROOM,
+                        range_clamp: bool = False):
     """FixedNoiseShaper / Fixed15TapNoiseShaper processSample loop:
-    y = x*headroom - sum c_i e_i; q = quantize(y); e0 = clamp(q-y, 2 scale)."""
+    y = x*headroom - sum c_i e_i; q = quantize(y); e0 = clamp(q-y, 2 scale).
+
+    range_clamp=True adds Fixed15Tap's post-round integer-range clamp
+    (Fixed15TapNoiseShaper.h:318-349 clamps q to [-invScale, invScale-1];
+    FixedNoiseShaper's quantize has no such clamp)."""
     if bit_depth <= 0:
         return x * headroom
     x = jnp.asarray(x)
@@ -284,7 +368,8 @@ def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
         for i in range(1, order):
             fb = fb + c[i] * e[..., i]
         y = xi * headroom - fb
-        q = _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp=False)
+        q = _ef_quantize(y, u1, u2, scale, inv_scale,
+                         extra_clamp=range_clamp)
         err = jnp.clip(q - y, -ERROR_CLAMP_FACTOR * scale,
                        ERROR_CLAMP_FACTOR * scale)
         e = jnp.concatenate([err[..., None], e[..., :-1]], axis=-1)
@@ -370,7 +455,7 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
         elif shaper_type == FIXED4:
             coeffs, mode = fixed4_coeffs(sample_rate), "fixed"
         else:
-            coeffs, mode = FIXED15_DEFAULT, "fixed"
+            coeffs, mode = fixed15_coeffs(sample_rate), "fixed15"
         scale, _ = quant_scales(bit_depth)
         n = x.shape[-1]
         xr = x.reshape((-1, n))
@@ -384,8 +469,8 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
         return fixed_shaper_dither(x, uniforms, fixed4_coeffs(sample_rate),
                                    bit_depth, headroom)
     if shaper_type == FIXED15:
-        return fixed_shaper_dither(x, uniforms, FIXED15_DEFAULT, bit_depth,
-                                   headroom)
+        return fixed_shaper_dither(x, uniforms, fixed15_coeffs(sample_rate),
+                                   bit_depth, headroom, range_clamp=True)
     if shaper_type == ADAPTIVE9:
         k = adaptive_coeffs if adaptive_coeffs is not None else np.zeros(9)
         return lattice_dither(x, uniforms, k, bit_depth, headroom)

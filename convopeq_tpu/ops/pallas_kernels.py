@@ -120,7 +120,9 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                  z <- (tmp - q, z[:-1])              (PsychoacousticDither)
       "fixed"  — y = x*h - c.e; q = quantize(y) with [-1, 1-scale] clamp +
                  TPDF + round; e <- (clamp(q - y, +-2 scale), e[:-1])
-                 (FixedNoiseShaper / Fixed15Tap)
+                 (FixedNoiseShaper)
+      "fixed15" — same, plus Fixed15Tap's post-round integer-range clamp
+                 (q clamped to [-1, 1-scale], Fixed15TapNoiseShaper.h:343)
     Returns q: (R, N).  Bit-compatible with the lax.scan reference kernels
     in models/dither.py (same op order, same rounding).
     """
@@ -169,6 +171,8 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                 y = xi * headroom - shaped
                 yc = jnp.clip(y, -1.0, 1.0 - scale)
                 q = jnp.round((yc + di) * inv_scale) * scale
+                if mode == "fixed15":
+                    q = jnp.clip(q, -1.0, 1.0 - scale)
                 err = jnp.clip(q - y, -err_lim, err_lim)
             q_ref[t, :] = q
             return (err,) + z[:-1]

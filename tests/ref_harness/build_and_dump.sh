@@ -33,3 +33,11 @@ awk '
 g++ -std=c++20 -O2 "$HERE/dump_svf.cpp" -o /tmp/dump_svf
 /tmp/dump_svf > "$OUT/svf_coeffs.json"
 echo "wrote $OUT/svf_coeffs.json"
+
+# Noise shapers: pure headers with deterministic internal RNGs — the
+# dumped quantized outputs are exact (bit-level) ground truth for
+# models/dither.py's error-feedback kernels.
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    "$HERE/dump_shapers.cpp" -o /tmp/dump_shapers
+/tmp/dump_shapers > "$OUT/shapers.json"
+echo "wrote $OUT/shapers.json"

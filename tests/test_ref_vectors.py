@@ -143,3 +143,61 @@ def test_svf_coeffs_match_reference():
         np.testing.assert_allclose(
             np.asarray(ours), want[name], rtol=5e-14, atol=1e-300,
             err_msg=f"SVF coefficient {name} diverges from the reference")
+
+
+# ---------------------------------------------------------------------------
+# Noise shapers: bit-level parity against the reference binaries
+# (tests/ref_harness/dump_shapers.cpp).  The shapers' internal RNGs are
+# fully deterministic (Xoshiro256++ constant seeds / splitmix64 seeded
+# from (sampleRate, bitDepth)), so the quantized output for the dumped
+# input is exact ground truth.  Error-feedback loops are chaotic at the
+# ULP level, so exact agreement here means the arithmetic order, the
+# rounding mode, every clamp, and the RNG all match the reference.
+# ---------------------------------------------------------------------------
+
+def _shaper_uniforms(n, channel=0, seeds=None):
+    from convopeq_tpu.models.dither import xoshiro_uniforms
+    u = xoshiro_uniforms(2 * n, channel=channel, seeds=seeds)
+    return u.reshape(n, 2)
+
+
+def test_fixed4_shaper_matches_reference_binary():
+    v = _load("shapers.json")
+    from convopeq_tpu.models.dither import fixed4_coeffs, fixed_shaper_dither
+    sr, h = v["sample_rate"], v["headroom"]
+    for bits in (16, 24):
+        for ch, name in ((0, "l"), (1, "r")):
+            x = np.asarray(v[f"input_{name}"])
+            want = np.asarray(v[f"fixed4_{bits}bit_{name}"])
+            u = _shaper_uniforms(len(x), channel=ch)
+            got = np.asarray(fixed_shaper_dither(
+                x, u, fixed4_coeffs(sr), bits, headroom=h))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_fixed15_shaper_matches_reference_binary():
+    v = _load("shapers.json")
+    from convopeq_tpu.models.dither import (fixed15_coeffs,
+                                            fixed15_xoshiro_seeds,
+                                            fixed_shaper_dither)
+    sr, h = v["sample_rate"], v["headroom"]
+    for ch, name in ((0, "l"), (1, "r")):
+        x = np.asarray(v[f"input_{name}"])
+        want = np.asarray(v[f"fixed15_16bit_{name}"])
+        u = _shaper_uniforms(len(x), seeds=fixed15_xoshiro_seeds(sr, 16, ch))
+        got = np.asarray(fixed_shaper_dither(
+            x, u, fixed15_coeffs(sr), 16, headroom=h, range_clamp=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_lattice_shaper_matches_reference_binary():
+    v = _load("shapers.json")
+    from convopeq_tpu.models.dither import lattice_dither
+    h = v["headroom"]
+    k = np.array([0.2, -0.15, 0.1, -0.08, 0.06, -0.04, 0.03, -0.02, 0.01])
+    for ch, name in ((0, "l"), (1, "r")):
+        x = np.asarray(v[f"input_{name}"])
+        want = np.asarray(v[f"lattice_16bit_{name}"])
+        u = _shaper_uniforms(len(x), channel=ch)
+        got = np.asarray(lattice_dither(x, u, k, 16, headroom=h))
+        np.testing.assert_array_equal(got, want)
