@@ -41,3 +41,19 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
     "$HERE/dump_shapers.cpp" -o /tmp/dump_shapers
 /tmp/dump_shapers > "$OUT/shapers.json"
 echo "wrote $OUT/shapers.json"
+
+# Oversampler: Kaiser-halfband cascade — stateful block outputs are
+# exact ground truth for ops/oversample.py (design + both phase kernels)
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    -include array -D'jassert(x)=((void)0)' -D'__assume(x)=((void)0)' \
+    "$HERE/dump_oversampler.cpp" "$REF/src/CustomInputOversampler.cpp" \
+    -o /tmp/dump_os
+/tmp/dump_os > "$OUT/oversampler.json"
+echo "wrote $OUT/oversampler.json"
+
+# DC blocker + peak limiter (pure headers)
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    -include array -D'jassert(x)=((void)0)' -D'__assume(x)=((void)0)' \
+    "$HERE/dump_misc.cpp" -o /tmp/dump_misc
+/tmp/dump_misc > "$OUT/misc.json"
+echo "wrote $OUT/misc.json"

@@ -10,6 +10,17 @@
 
 namespace juce {
 
+template <typename T>
+inline T jmax(T a, T b) noexcept { return a < b ? b : a; }
+template <typename T>
+inline T jmin(T a, T b) noexcept { return b < a ? b : a; }
+
+template <typename T>
+struct MathConstants {
+    static constexpr T pi = static_cast<T>(3.141592653589793238462643383279502884L);
+    static constexpr T twoPi = static_cast<T>(2) * pi;
+};
+
 struct FloatVectorOperations {
     static void clear(double* p, int n) noexcept {
         std::memset(p, 0, sizeof(double) * static_cast<size_t>(n));
@@ -17,7 +28,39 @@ struct FloatVectorOperations {
     static void clear(float* p, int n) noexcept {
         std::memset(p, 0, sizeof(float) * static_cast<size_t>(n));
     }
+    static void copy(double* dst, const double* src, int n) noexcept {
+        std::memmove(dst, src, sizeof(double) * static_cast<size_t>(n));
+    }
 };
+
+namespace dsp {
+
+// Minimal AudioBlock: non-owning view over per-channel pointers — only
+// the surface CustomInputOversampler touches.
+template <typename T>
+class AudioBlock {
+public:
+    AudioBlock() noexcept = default;
+    AudioBlock(T* const* chans, size_t numCh, size_t numSmp) noexcept
+        : channels_(chans), numChannels_(numCh), numSamples_(numSmp) {}
+    size_t getNumChannels() const noexcept { return numChannels_; }
+    size_t getNumSamples() const noexcept { return numSamples_; }
+    T* getChannelPointer(size_t ch) const noexcept {
+        return channels_ ? channels_[ch] : nullptr;
+    }
+    void clear() const noexcept {
+        for (size_t c = 0; c < numChannels_; ++c)
+            if (channels_ && channels_[c])
+                std::memset(channels_[c], 0, sizeof(T) * numSamples_);
+    }
+
+private:
+    T* const* channels_ = nullptr;
+    size_t numChannels_ = 0;
+    size_t numSamples_ = 0;
+};
+
+}  // namespace dsp
 
 // No-op fifo: prepareToWrite grants zero space, so diagnostics pushes
 // are dropped (the dump harness never reads them).

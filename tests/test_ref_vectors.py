@@ -201,3 +201,68 @@ def test_lattice_shaper_matches_reference_binary():
         u = _shaper_uniforms(len(x), channel=ch)
         got = np.asarray(lattice_dither(x, u, k, 16, headroom=h))
         np.testing.assert_array_equal(got, want)
+
+
+def test_oversampler_matches_reference_binary():
+    """Block-streamed up/down outputs of the reference's own
+    CustomInputOversampler (tests/ref_harness/dump_oversampler.cpp) vs our
+    offline cascade — the reference carries FIR history across blocks, so
+    streamed == offline; agreement pins the Kaiser design, both phase
+    kernels (incl. the 0.5x center-phase quirk), and the decimator grid."""
+    v = _load("oversampler.json")
+    from convopeq_tpu.ops.oversample import (
+        PRESET_IIR_LIKE, PRESET_LINEAR_PHASE, make_stages, oversample_up,
+        oversample_down)
+    x = np.stack([np.asarray(v["input_l"]), np.asarray(v["input_r"])])
+    for preset, ptag in ((PRESET_IIR_LIKE, "iirlike"),
+                         (PRESET_LINEAR_PHASE, "linphase")):
+        for ratio in (2, 4, 8):
+            tag = f"r{ratio}_{ptag}"
+            stages = make_stages(ratio, preset)
+            up = np.asarray(oversample_up(x, stages))
+            want_up = np.stack([np.asarray(v[f"{tag}_up_l"]),
+                                np.asarray(v[f"{tag}_up_r"])])
+            np.testing.assert_allclose(up, want_up, rtol=0, atol=2e-13,
+                                       err_msg=f"{tag} up")
+            down = np.asarray(oversample_down(want_up, stages))
+            want_down = np.stack([np.asarray(v[f"{tag}_down_l"]),
+                                  np.asarray(v[f"{tag}_down_r"])])
+            np.testing.assert_allclose(down, want_down, rtol=0, atol=2e-13,
+                                       err_msg=f"{tag} down")
+
+
+def test_dc_blocker_matches_reference_binary():
+    """UltraHighRateDCBlocker block outputs from the reference binary
+    (tests/ref_harness/dump_misc.cpp).  Our fused 2x2 affine-scan form is
+    algebraically identical to the reference's sequential two-stage
+    cascade; agreement to ~1e-13 pins the expm1 alphas, the +-10% spread
+    and the cascade topology."""
+    v = _load("misc.json")
+    from convopeq_tpu.ops.dc_blocker import dc_block
+    x = np.stack([np.asarray(v["input_l"]), np.asarray(v["input_r"])])
+    for sr, fc, tag in ((48000.0, 3.0, "dc_48k_3hz"),
+                        (384000.0, 1.0, "dc_384k_1hz")):
+        y, _ = dc_block(x, sr, fc)
+        want = np.stack([np.asarray(v[f"{tag}_l"]),
+                         np.asarray(v[f"{tag}_r"])])
+        np.testing.assert_allclose(np.asarray(y), want, rtol=0, atol=1e-12,
+                                   err_msg=tag)
+
+
+def test_peak_limiter_matches_reference_binary():
+    """SimplePeakLimiter envelope + gain application vs the reference
+    binary (two consecutive blocks -> carried envelope included)."""
+    v = _load("misc.json")
+    from convopeq_tpu.ops.limiter import peak_limiter
+    x = 1.15 * np.stack([np.asarray(v["input_l"]), np.asarray(v["input_r"])])
+    thr = 0.8912509381337456
+    knee = 0.12202930310835076
+    y, _ = peak_limiter(x, 48000.0, threshold=thr, knee=knee,
+                        release_ms=80.0, exact=True)
+    want = np.stack([np.asarray(v["limiter_l"]), np.asarray(v["limiter_r"])])
+    np.testing.assert_allclose(np.asarray(y), want, rtol=0, atol=1e-14)
+    # the parallel max-plus form tracks the branchy reference within its
+    # documented single-sample deviation bound
+    yp, _ = peak_limiter(x, 48000.0, threshold=thr, knee=knee,
+                         release_ms=80.0, exact=False)
+    assert np.max(np.abs(np.asarray(yp) - want)) < 5e-4
