@@ -57,3 +57,11 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
     "$HERE/dump_misc.cpp" -o /tmp/dump_misc
 /tmp/dump_misc > "$OUT/misc.json"
 echo "wrote $OUT/misc.json"
+
+# Metering: true peak + K-weighted block power (reads the meter's ring)
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    -include array -D'jassert(x)=((void)0)' -D'__assume(x)=((void)0)' \
+    "$HERE/dump_metering.cpp" "$REF/src/TruePeakDetector.cpp" \
+    "$REF/src/LoudnessMeter.cpp" -o /tmp/dump_met
+/tmp/dump_met > "$OUT/metering.json"
+echo "wrote $OUT/metering.json"

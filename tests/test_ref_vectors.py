@@ -266,3 +266,94 @@ def test_peak_limiter_matches_reference_binary():
     yp, _ = peak_limiter(x, 48000.0, threshold=thr, knee=knee,
                          release_ms=80.0, exact=False)
     assert np.max(np.abs(np.asarray(yp) - want)) < 5e-4
+
+
+def test_loudness_kweight_matches_reference_binary():
+    """LoudnessMeter block mean-square/peak (K-weighted, channel-weighted)
+    read back through the reference binary's own SPSC ring
+    (tests/ref_harness/dump_metering.cpp) vs our k_weight + block_power."""
+    v = _load("metering.json")
+    from convopeq_tpu.models.metering import k_weight
+    x = np.stack([np.asarray(v["input_l"]), np.asarray(v["input_r"])])
+    bs = v["block"]
+    for sr, tag in ((48000.0, "48k"), (96000.0, "96k")):
+        y = np.asarray(k_weight(x, sr))
+        nb = x.shape[-1] // bs
+        blocks = y[:, :nb * bs].reshape(2, nb, bs)
+        ms = (blocks ** 2).mean(axis=-1).sum(axis=0)
+        pk = np.abs(blocks).max(axis=-1).max(axis=0)
+        np.testing.assert_allclose(ms, np.asarray(v[f"kweight_meansq_{tag}"]),
+                                   rtol=1e-10, err_msg=tag)
+        np.testing.assert_allclose(pk, np.asarray(v[f"block_peak_{tag}"]),
+                                   rtol=1e-10, err_msg=tag)
+
+
+def test_true_peak_matches_reference_binary():
+    """TruePeakDetector per-block values vs an exact NumPy emulation of
+    the reference's blockwise interpolateStage (TruePeakDetector.cpp:
+    284-311) using OUR Kaiser stage design — agreement to ~1e-15 proves
+    the stage coefficients and the center+arm interpolation formula are
+    identical.
+
+    Note the reference has a block-SEAM artifact this emulation
+    reproduces: interpolateStage reads up to convCount-1 samples past
+    the written history region (history buffer is allocated with +16
+    slack that is zero-initialized and never written, cpp:274,298-309),
+    so the last ~16 outputs of every block are computed against zeroed
+    future context; at seams this rings and can OVERSHOOT (block 3 of
+    the fixture: 0.6003 vs the true 0.5900).  Our production true_peak
+    interpolates continuously (no seams), so it matches the reference
+    bit-exactly on blocks whose peak lies away from a seam and reads
+    slightly LOWER at corrupted seams — the correct value."""
+    v = _load("metering.json")
+    from convopeq_tpu.ops.oversample import design_halfband
+    from convopeq_tpu.models.metering import true_peak
+    x = np.stack([np.asarray(v["input_l"]), np.asarray(v["input_r"])])
+    block = v["block"]
+
+    def make_runner(st, n_in):
+        conv = np.asarray(st.conv)
+        cnt = len(conv)
+        conv_rev = conv[::-1]
+        hist_len = max(cnt - 1, st.center_delay)
+        bufs = [np.zeros(hist_len + n_in + 16) for _ in range(2)]
+
+        def run(blocks2ch):
+            outs = []
+            for ch, blk in enumerate(blocks2ch):
+                buf = bufs[ch]
+                buf[:hist_len] = buf[n_in:n_in + hist_len]
+                buf[hist_len:hist_len + n_in] = blk
+                out = np.empty(2 * n_in)
+                for n in range(n_in):
+                    base = hist_len + n - st.center_delay
+                    out[2 * n] = buf[base] * 0.5 + np.dot(
+                        buf[base:base + cnt], conv_rev)
+                    out[2 * n + 1] = buf[base + 1] * 0.5 + np.dot(
+                        buf[base - 1:base - 1 + cnt], conv_rev)
+                outs.append(out)
+            return outs
+        return run
+
+    st0 = design_halfband(63, 100.0)
+    st1 = design_halfband(31, 100.0)
+    run0 = make_runner(st0, block)
+    run1 = make_runner(st1, 2 * block)
+    held, ph = [], 0.0
+    nb = x.shape[-1] // block
+    for b in range(nb):
+        u2 = run0([x[0, b * block:(b + 1) * block],
+                   x[1, b * block:(b + 1) * block]])
+        u4 = run1(u2)
+        peak = max(np.abs(u4[0]).max(), np.abs(u4[1]).max())
+        ph = peak if peak > ph else ph * 0.999
+        held.append(ph)
+    np.testing.assert_allclose(held, np.asarray(v["truepeak_48k"]),
+                               rtol=0, atol=5e-15)
+
+    # continuous (seam-free) implementation: within 2% of the reference's
+    # held peak globally (exact equality is impossible by design — the
+    # reference's seam overshoot is an artifact our continuous form
+    # does not reproduce)
+    u = np.asarray(true_peak(x))
+    assert abs(float(np.max(u)) - max(held)) / max(held) < 0.02
