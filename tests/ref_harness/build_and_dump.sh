@@ -65,3 +65,11 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
     "$REF/src/LoudnessMeter.cpp" -o /tmp/dump_met
 /tmp/dump_met > "$OUT/metering.json"
 echo "wrote $OUT/metering.json"
+
+# Output filter: full HC/LC/LP mode grids at 48/96 kHz
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    -include array -D'jassert(x)=((void)0)' -D'__assume(x)=((void)0)' \
+    "$HERE/dump_output_filter.cpp" "$REF/src/OutputFilter.cpp" \
+    -o /tmp/dump_of
+/tmp/dump_of > "$OUT/output_filter.json"
+echo "wrote $OUT/output_filter.json"

@@ -6,6 +6,12 @@
 #include <algorithm>
 #include <cstring>
 
+#ifndef JUCE_DECLARE_NON_COPYABLE
+#define JUCE_DECLARE_NON_COPYABLE(cls) \
+    cls(const cls&) = delete;          \
+    cls& operator=(const cls&) = delete;
+#endif
+
 #include "juce_core/juce_core.h"
 
 namespace juce {

@@ -357,3 +357,35 @@ def test_true_peak_matches_reference_binary():
     # does not reproduce)
     u = np.asarray(true_peak(x))
     assert abs(float(np.max(u)) - max(held)) / max(held) < 0.02
+
+
+def test_output_filter_matches_reference_binary():
+    """OutputFilter block outputs from the reference binary
+    (tests/ref_harness/dump_output_filter.cpp): full HC x LC and LP mode
+    grids at 48/96 kHz vs our RBJ tables + DF2T cascades.
+
+    The coefficient formulas are expression-identical (verified: NumPy
+    and libm trig agree bitwise here), so the residual ~5e-11 is our
+    blocked-scan evaluation's reassociation on the near-DC HPF poles
+    (r ~ 0.9999) — the same documented <=1e-11-per-stage f64 bound the
+    precision suite carries (tests/test_precision.py)."""
+    v = _load("output_filter.json")
+    from convopeq_tpu.models.output_filter import output_filter_process
+    x = np.stack([np.asarray(v["input_l"]), np.asarray(v["input_r"])])
+    for srk, sr in (("48k", 48000.0), ("96k", 96000.0)):
+        for hc in range(3):
+            for lc in range(2):
+                y = np.asarray(output_filter_process(
+                    x, sr, True, hc, lc, 1))
+                want = np.stack([
+                    np.asarray(v[f"conv_{srk}_hc{hc}_lc{lc}_l"]),
+                    np.asarray(v[f"conv_{srk}_hc{hc}_lc{lc}_r"])])
+                np.testing.assert_allclose(
+                    y, want, rtol=0, atol=1e-9,
+                    err_msg=f"conv {srk} hc{hc} lc{lc}")
+        for lp in range(3):
+            y = np.asarray(output_filter_process(x, sr, False, 1, 0, lp))
+            want = np.stack([np.asarray(v[f"eq_{srk}_lp{lp}_l"]),
+                             np.asarray(v[f"eq_{srk}_lp{lp}_r"])])
+            np.testing.assert_allclose(y, want, rtol=0, atol=1e-9,
+                                       err_msg=f"eq {srk} lp{lp}")
