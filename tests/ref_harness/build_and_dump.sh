@@ -73,3 +73,17 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
     -o /tmp/dump_of
 /tmp/dump_of > "$OUT/output_filter.json"
 echo "wrote $OUT/output_filter.json"
+
+# Soft clip: extract the kernel (anonymous namespace of the DSPCore TU)
+# verbatim at dump-build time, drive a saturation grid
+awk '
+  /^inline double musicalSoftClipScalar/ {p=1}
+  /^void softClipBlockAVX2/ {p=1}
+  p {print}
+  p && /^}$/ {p=0}
+' "$REF/src/audioengine/AudioEngine.Processing.DSPCoreDouble.cpp" \
+    > /tmp/softclip_extract.inc
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" \
+    "$HERE/dump_softclip.cpp" -o /tmp/dump_sc
+/tmp/dump_sc > "$OUT/softclip.json"
+echo "wrote $OUT/softclip.json"

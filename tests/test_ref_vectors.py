@@ -389,3 +389,17 @@ def test_output_filter_matches_reference_binary():
                              np.asarray(v[f"eq_{srk}_lp{lp}_r"])])
             np.testing.assert_allclose(y, want, rtol=0, atol=1e-9,
                                        err_msg=f"eq {srk} lp{lp}")
+
+
+def test_softclip_matches_reference_binary():
+    """musicalSoftClip (softClipBlockAVX2 incl. the scalar tail — N=1003
+    is odd) extracted from the reference's own DSPCoreDouble TU and run
+    over a saturation-parameter grid vs our memoryless kernel."""
+    v = _load("softclip.json")
+    from convopeq_tpu.ops.softclip import soft_clip, soft_clip_params
+    x = np.asarray(v["input"])
+    for k, s in enumerate((0.1, 0.5, 0.9)):
+        thr, knee, asym = soft_clip_params(s)
+        got = np.asarray(soft_clip(x, thr, knee, asym))
+        np.testing.assert_allclose(got, np.asarray(v[f"sat_{k}"]), rtol=0,
+                                   atol=1e-14, err_msg=f"sat={s}")
