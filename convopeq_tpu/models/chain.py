@@ -336,7 +336,7 @@ def process_chain_fused(x, cfg: ChainConfig, conv_state, prefilter=None):
     return y
 
 
-def throughput_partition_size(ir_len: int) -> int:
+def throughput_partition_size(ir_len: int, f64: bool = False) -> int:
     """Partition size for the offline single-layer throughput plan.
 
     The reference's 3-layer non-uniform plan exists to bound REAL-TIME
@@ -357,9 +357,15 @@ def throughput_partition_size(ir_len: int) -> int:
     (num_parts), larger p grows the per-frame transform cost.  Exactness
     is untouched — any partitioning computes the same linear convolution
     (single-layer f32 tracks the 3-layer f32 output at ~4e-6 relative,
-    i.e. below the f32 chain floor)."""
+    i.e. below the f32 chain floor).
+
+    The dd/f64 path has a different optimum: its complex-free shift-MAC
+    costs O(num_parts) full passes, so larger partitions win (measured
+    dd-folded 1M-tap: p16384 226x / p32768 250x / p65536 **271x** /
+    p131072 266x) — hence the 4x larger cap for f64."""
     p = next_pow2(max(1024, ir_len // 64))
-    return min(p, 16384)
+    cap = 65536 if f64 else 16384
+    return min(p, cap)
 
 
 def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
@@ -418,7 +424,8 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
         dtype = jnp.zeros(()).dtype
     if partition is not None:
         if partition == "auto":
-            partition = throughput_partition_size(combined.shape[-1])
+            partition = throughput_partition_size(
+                combined.shape[-1], f64=(jnp.dtype(dtype) == jnp.float64))
         cj = jnp.asarray(combined, dtype)
         return StereoConvolverState(
             left=nuc_prepare_uniform(cj[0], int(partition), block_size),

@@ -87,3 +87,18 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" \
     "$HERE/dump_softclip.cpp" -o /tmp/dump_sc
 /tmp/dump_sc > "$OUT/softclip.json"
 echo "wrote $OUT/softclip.json"
+
+# EQ per-sample SVF kernel: extract the Processing TU's anonymous-namespace
+# helpers + processBand/processBandStereo verbatim (reuses the svf coeff
+# extraction for the band coefficients)
+awk '
+  /inline double calculateRMS/ {p=1}
+  /applyGainRamp_AVX2/ {exit}
+  p {print}
+' "$REF/src/eqprocessor/EQProcessor.Processing.cpp" \
+    > /tmp/eq_kernel_extract.inc
+g++ -std=c++20 -O2 -mavx2 -mfma -msse4.1 -I"$REF/src" -I"$HERE/stub_include" \
+    -include array -D'jassert(x)=((void)0)' -D'__assume(x)=((void)0)' \
+    "$HERE/dump_eq_kernel.cpp" -o /tmp/dump_eqk
+/tmp/dump_eqk > "$OUT/eq_kernel.json"
+echo "wrote $OUT/eq_kernel.json"

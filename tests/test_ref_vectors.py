@@ -403,3 +403,57 @@ def test_softclip_matches_reference_binary():
         got = np.asarray(soft_clip(x, thr, knee, asym))
         np.testing.assert_allclose(got, np.asarray(v[f"sat_{k}"]), rtol=0,
                                    atol=1e-14, err_msg=f"sat={s}")
+
+
+def test_eq_kernel_matches_reference_binary():
+    """Per-sample TPT-SVF band kernel vs the reference's OWN processBand /
+    processBandStereo bodies (extracted verbatim and executed by
+    tests/ref_harness/dump_eq_kernel.cpp over 8 band cases x 2048 samples
+    in four 512-sample blocks with state carry).
+
+    Covers the saturation tanh blend in both SIMD forms (scalar exact-+-1
+    vs SSE2 clamp-then-evaluate), near-DC poles (40 Hz Q=5 peak, 30 Hz
+    HPF), and the cross-block state carry.  The residual vs our
+    associative-scan recast is pure f64 reassociation; the bound here is
+    the same documented <=1e-11-per-stage f64 scan bound the precision
+    suite carries."""
+    v = _load("eq_kernel.json")
+    from convopeq_tpu.ops.svf import svf_coeffs, svf_process
+    sr = float(v["sample_rate"])
+    xl = np.asarray(v["input_l"])
+    xr = np.asarray(v["input_r"])
+    for b in v["bands"]:
+        # reference API takes f32 parameters; recover the exact f32 value
+        f = np.float32(b["freq"]); g = np.float32(b["gain_db"])
+        q = np.float32(b["q"]); sat = float(b["saturation"])
+        tag = f"type={b['type']} f={f} sat={sat}"
+        coeffs = svf_coeffs(b["type"], np.float64(f), np.float64(g),
+                            np.float64(q), sr)
+        a1, a2, a3, m0, m1, m2 = [np.asarray(c) for c in coeffs]
+        for name, got, want in (("a1", a1, b["a1"]), ("a2", a2, b["a2"]),
+                                ("a3", a3, b["a3"]), ("m0", m0, b["m0"]),
+                                ("m1", m1, b["m1"]), ("m2", m2, b["m2"])):
+            np.testing.assert_allclose(float(got), want, rtol=5e-14,
+                                       err_msg=f"{tag} coeff {name}")
+
+        # scalar path (processBand): mono input, exact-+-1 tanh form
+        ys, st = svf_process(xl, coeffs, saturation=sat, simd_tanh=False)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(b["scalar_out"]),
+                                   rtol=0, atol=2e-11,
+                                   err_msg=f"{tag} scalar out")
+        np.testing.assert_allclose(np.asarray(st),
+                                   np.asarray(b["scalar_state"]),
+                                   rtol=2e-9, atol=1e-12,
+                                   err_msg=f"{tag} scalar state")
+
+        # stereo SSE2 path (processBandStereo): batched L/R, clamp form
+        x2 = np.stack([xl, xr])
+        y2, st2 = svf_process(x2, coeffs, saturation=sat, simd_tanh=True)
+        want2 = np.stack([np.asarray(b["stereo_out_l"]),
+                          np.asarray(b["stereo_out_r"])])
+        np.testing.assert_allclose(np.asarray(y2), want2, rtol=0, atol=2e-11,
+                                   err_msg=f"{tag} stereo out")
+        wantst = np.stack([np.asarray(b["stereo_state_l"]),
+                           np.asarray(b["stereo_state_r"])])
+        np.testing.assert_allclose(np.asarray(st2), wantst, rtol=2e-9,
+                                   atol=1e-12, err_msg=f"{tag} stereo state")
