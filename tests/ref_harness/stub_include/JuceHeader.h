@@ -14,12 +14,48 @@
 
 #include "juce_core/juce_core.h"
 
+#ifndef JUCE_DECLARE_NON_COPYABLE_WITH_LEAK_DETECTOR
+#define JUCE_DECLARE_NON_COPYABLE_WITH_LEAK_DETECTOR(cls) \
+    JUCE_DECLARE_NON_COPYABLE(cls)
+#endif
+
 namespace juce {
 
 template <typename T>
 inline T jmax(T a, T b) noexcept { return a < b ? b : a; }
 template <typename T>
 inline T jmin(T a, T b) noexcept { return b < a ? b : a; }
+
+inline int nextPowerOfTwo(int n) noexcept {
+    int p = 1;
+    while (p < n) p <<= 1;
+    return p;
+}
+
+// Inert String/Logger/MessageManager: the convolver only builds log
+// strings (dropped) and asserts the message thread (single-threaded dump
+// harness => always true).
+class String {
+public:
+    String() = default;
+    template <typename T> String(const T&) {}
+    template <typename... A>
+    static String formatted(const char*, A...) { return {}; }
+    String operator+(const String&) const { return {}; }
+};
+inline String operator+(const char* a, const String&) { return String(a); }
+
+struct Logger {
+    static void writeToLog(const String&) {}
+};
+
+struct MessageManager {
+    static MessageManager* getInstance() {
+        static MessageManager m;
+        return &m;
+    }
+    bool isThisTheMessageThread() const noexcept { return true; }
+};
 
 template <typename T>
 struct MathConstants {

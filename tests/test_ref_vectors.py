@@ -457,3 +457,203 @@ def test_eq_kernel_matches_reference_binary():
                            np.asarray(b["stereo_state_r"])])
         np.testing.assert_allclose(np.asarray(st2), wantst, rtol=2e-9,
                                    atol=1e-12, err_msg=f"{tag} stereo state")
+
+
+# ---------------------------------------------------------------------------
+# NUC engine ground truth: tests/ref_harness/dump_nuc.cpp compiles the
+# reference's own MKLNonUniformConvolver.cpp + FFTBackend.cpp UNMODIFIED
+# (portable stub FFT/VML) and streams blocks through SetImpulse/Add/Get.
+# These tests pin our layer plan, spectrum filters, per-layer delay
+# alignment, and the direct-head latency mapping against that output.
+# ---------------------------------------------------------------------------
+
+def _xs64(seed, n, scale=1.0):
+    """xorshift64* uniform in [-0.5, 0.5) — bit-exact mirror of dump_nuc."""
+    mask = (1 << 64) - 1
+    s = seed
+    out = np.empty(n)
+    for i in range(n):
+        s ^= (s >> 12)
+        s = (s ^ (s << 25)) & mask
+        s ^= (s >> 27)
+        r = (s * 2685821657736338717) & mask
+        out[i] = (r >> 11) * (1.0 / 9007199254740992.0) - 0.5
+    return out * scale
+
+
+def _nuc_case_ir_input(c):
+    ir_len = int(c["ir_len"])
+    total = int(c["nblocks"]) * int(c["block"])
+    if int(c["ir_seed"]) == 0:
+        ir = np.where(np.sin(np.arange(ir_len) * 0.1) > 0.0, 1.0, -1.0)
+    else:
+        ir = _xs64(int(c["ir_seed"]), ir_len) * np.exp(
+            -np.arange(ir_len) / float(c["ir_tau"]))
+    if int(c["in_seed"]) == 0:
+        x = np.zeros(total)
+        x[0] = 1.0
+        if total > 700:
+            x[700] = -0.75
+    else:
+        x = _xs64(int(c["in_seed"]), total, scale=0.8)
+    return ir, x
+
+
+def _nuc_case_spec(c):
+    from convopeq_tpu.models.nuc import FilterSpec
+    if not c.get("has_spec", True):
+        return FilterSpec(sample_rate=48000.0), False
+    s = c["spec"]
+    return FilterSpec(sample_rate=48000.0, hc_mode=int(s["hc"]),
+                      lc_mode=int(s["lc"]), tail_mode=int(s["tail_mode"]),
+                      tail_enabled=bool(s["tail_enabled"]),
+                      tail_start_seconds=float(s["tail_start"]),
+                      tail_strength=float(s["tail_strength"]),
+                      tail_l1l2_multiplier=int(s["mult"])), True
+
+
+def _tail_delivery_map(part, block, num_parts_ir, out_delay, nblocks):
+    """Discrete-event model of the reference's B13 tail delivery protocol.
+
+    The reference does NOT deliver L1/L2 tail output at the mathematically
+    exact convolution position.  Each tail layer is an overlap-save FDL on
+    its own partition clock whose MAC is amortized over callbacks
+    (partsPerCallback, MKLNonUniformConvolver.cpp:988-993, 1500-1545); the
+    completed partSize chunk is pushed into a delay ring (delayLineWrite)
+    and Get() reads it back with readCursor = max(readCursor,
+    writeCursor - outputDelaySamples) where outputDelaySamples = total IR
+    length of preceding layers (cpp:1005-1010, 1659-1689).  Because the
+    read clamp only ever applies when the writer is AHEAD, the steady-state
+    delivery offset is set by the write schedule, not by
+    outputDelaySamples: chunk m (covering conv output [m*P,(m+1)*P) of the
+    layer's segment) is written in callback
+    (m+1)*blocksPerPart - 1 + (macCallbacks-1), and reads then proceed
+    contiguously.  Net effect (verified against the compiled reference
+    with Dirac probes): every tail layer arrives at a CONSTANT shift vs
+    the exact position — e.g. +1408 samples late for a 64-partition L1,
+    230528 samples EARLY for the L2 of a 600k-tap IR (block 512).
+
+    Our rebuild intentionally does not reproduce this seam: nuc_convolve
+    and the streaming runtime place every layer at the exact convolution
+    offset (see PARITY.md "tail delivery seam").  This map exists so the
+    parity tests can validate everything else (partition plan, spectra,
+    HC/LC filter, damping, gains, direct head) against the reference
+    binary's actual output.
+
+    Returns an int64 array mapping output sample index -> index into the
+    layer's exact convolution (or -1 where the reference delivers
+    nothing, i.e. warmup stalls / clamp drops).
+    """
+    bpp = -(-part // block)                       # blocksPerPart
+    ppc = min(num_parts_ir, max(1, -(-num_parts_ir // bpp)))
+    macs = -(-num_parts_ir // ppc)                # callbacks per chunk MAC
+    writes = {}
+    m = 0
+    while True:
+        wb = (m + 1) * bpp - 1 + (macs - 1)
+        if wb >= nblocks:
+            break
+        writes[wb] = writes.get(wb, 0) + part
+        m += 1
+    out = np.full(nblocks * block, -1, dtype=np.int64)
+    wc = 0
+    rc = 0
+    for b in range(nblocks):
+        wc += writes.get(b, 0)
+        start = max(rc, max(0, wc - out_delay))
+        if start + block <= wc:
+            out[b * block:(b + 1) * block] = np.arange(start, start + block)
+            rc = start + block
+    return out
+
+
+def _nuc_reference_expected(c, ir, x):
+    """Our model's prediction of the reference's streamed output: exact
+    per-layer partitioned convolution + the reference's tail delivery
+    schedule (see _tail_delivery_map)."""
+    import jax.numpy as jnp
+    from convopeq_tpu.models.nuc import nuc_prepare
+    from convopeq_tpu.ops.partitioned_conv import uniform_partitioned_conv
+    spec, apply_filter = _nuc_case_spec(c)
+    st = nuc_prepare(ir, int(c["block"]), spec, scale=float(c["scale"]),
+                     enable_direct_head=bool(c["direct_head"]),
+                     apply_spectrum_filter=apply_filter)
+    assert st.plan.latency == int(c["latency"]), (
+        f"{c['name']}: planned latency {st.plan.latency} != ref "
+        f"{c['latency']}")
+    n = x.shape[-1]
+    block = int(c["block"])
+    y = np.zeros(n)
+    prev_total = 0
+    for li, (lp, H) in enumerate(zip(st.plan.layers, st.layer_spectra)):
+        yl = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H,
+                                                 lp.part_size))
+        if li == 0:
+            # L0 is the immediate layer: ringWrite in the same Add,
+            # ringRead in the same Get -> delivered at the exact position
+            y += yl
+        else:
+            mp = _tail_delivery_map(lp.part_size, block, lp.num_parts,
+                                    prev_total, n // block)
+            valid = mp >= 0
+            tail = np.zeros(n)
+            tail[valid] = yl[mp[valid]] * lp.gain
+            y += tail
+        prev_total += lp.length
+    if st.direct_ir is not None:
+        # the direct head is computed in the same Add and added in the
+        # same Get: a genuine zero-latency early path
+        y += np.convolve(x, np.asarray(st.direct_ir))[:n]
+    return y
+
+
+def test_nuc_engine_matches_reference_binary():
+    v = _load("nuc.json")
+    for c in v["cases"]:
+        ir, x = _nuc_case_ir_input(c)
+        exp = _nuc_reference_expected(c, ir, x)
+        got = np.asarray(c["output"])
+        scale = max(1.0, np.abs(got).max())
+        np.testing.assert_allclose(
+            exp, got, rtol=0, atol=1e-12 * scale,
+            err_msg=f"NUC case {c['name']} diverges from the reference "
+                    f"binary")
+
+
+def test_nuc_engine_long_3layer_matches_reference_binary():
+    """600k-tap IR: all three layers live (L0 5760 / L1 262144 / L2
+    332096), checked via windows + strided signature + per-chunk RMS.
+    The L2 delivery seam is at its most extreme here (the reference
+    delivers the L2 tail 230528 samples early; _tail_delivery_map)."""
+    v = _load("nuc.json")
+    L = v["long"]
+    ir_len = int(L["ir_len"])
+    total = int(L["nblocks"]) * int(L["block"])
+    ir = _xs64(int(L["ir_seed"]), ir_len) * np.exp(
+        -np.arange(ir_len) / float(L["ir_tau"]))
+    x = _xs64(int(L["in_seed"]), total, scale=0.8)
+    # C++ std::exp and NumPy exp differ in the last ulp of the decay
+    np.testing.assert_allclose(ir[:64], np.asarray(L["ir_head"]), rtol=0,
+                               atol=1e-15, err_msg="xorshift IR mismatch")
+    np.testing.assert_allclose(x[:64], np.asarray(L["input_head"]), rtol=0,
+                               atol=0, err_msg="xorshift input mismatch")
+
+    c = dict(name="long", ir_len=ir_len, block=int(L["block"]),
+             latency=int(L["latency"]), scale=1.0, direct_head=False,
+             has_spec=True,
+             spec=dict(hc=1, lc=0, tail_mode=1, tail_enabled=True,
+                       tail_start=0.085, tail_strength=1.0, mult=8))
+    exp = _nuc_reference_expected(c, ir, x)
+
+    atol = 1e-12 * max(1.0, np.abs(exp).max())
+    np.testing.assert_allclose(exp[:8192], np.asarray(L["out_first"]),
+                               rtol=0, atol=atol, err_msg="long: head")
+    np.testing.assert_allclose(exp[270336:270336 + 4096],
+                               np.asarray(L["out_mid"]), rtol=0, atol=atol,
+                               err_msg="long: L2-live window")
+    np.testing.assert_allclose(exp[::61], np.asarray(L["out_strided61"]),
+                               rtol=0, atol=atol, err_msg="long: strided")
+    rms = np.sqrt(np.mean(
+        exp[:total - total % 4096].reshape(-1, 4096) ** 2, axis=1))
+    np.testing.assert_allclose(rms, np.asarray(L["out_rms4096"]),
+                               rtol=1e-9, atol=0, err_msg="long: rms")
