@@ -106,11 +106,18 @@ def _blend_weight(freq, lo, hi):
 
 def mixed_phase_fallback(linear_ir, minimum_ir, sample_rate,
                          transition_lo_hz=200.0, transition_hi_hz=700.0):
-    """Direct spectral blend (convertToMixedPhaseFallback).  1-D inputs."""
+    """Direct spectral blend (convertToMixedPhaseFallback).  1-D inputs.
+
+    Note the reference's fallback uses fftSize = nextPow2(N) — NOT the
+    4N padding of the min-phase converter and the allpass primary path
+    (MixedPhase.cpp:749) — accepting the circular wrap of the rotated
+    IR into the analysis window.  Pinned against the reference binary
+    (tests/test_ref_vectors.py::test_mixed_phase_fallback_matches_
+    reference_binary)."""
     x = np.asarray(linear_ir, np.float64)
     m = np.asarray(minimum_ir, np.float64)
     n = x.shape[-1]
-    fft_size = next_pow2(n * 4)
+    fft_size = next_pow2(n)
     if fft_size > MAX_PHASE_FFT_SIZE:
         raise ValueError("mixed_phase: fftSize exceeds limit")
     half = fft_size // 2

@@ -102,3 +102,43 @@ g++ -std=c++20 -O2 -mavx2 -mfma -msse4.1 -I"$REF/src" -I"$HERE/stub_include" \
     "$HERE/dump_eq_kernel.cpp" -o /tmp/dump_eqk
 /tmp/dump_eqk > "$OUT/eq_kernel.json"
 echo "wrote $OUT/eq_kernel.json"
+
+# NUC engine: the reference's convolver TUs compiled UNMODIFIED against
+# the stub ipp/mkl headers (portable radix-2 FFT + exact VML/BLAS);
+# streams blocks through the real SetImpulse/Add/Get
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$REF/src/audioengine" \
+    -I"$HERE/stub_include" \
+    -include array -D'jassert(x)=((void)0)' -D'jassertfalse=((void)0)' \
+    -D'__assume(x)=((void)0)' \
+    "$HERE/dump_nuc.cpp" "$REF/src/MKLNonUniformConvolver.cpp" \
+    "$REF/src/FFTBackend.cpp" "$REF/src/FFTExecutionContext.cpp" \
+    -o /tmp/dump_nuc
+/tmp/dump_nuc > "$OUT/nuc.json"
+echo "wrote $OUT/nuc.json"
+
+# Loader-thread phase converters: convertToMinimumPhase +
+# convertToMixedPhaseFallback extracted verbatim, run against the stub
+# DFTI/VML (portable radix-2 FFT, exact elementwise ops)
+awk '
+  /inline bool checkCancellation/ {p=1}
+  /inline void unwrapPhaseRadians/ {p=1}
+  p {print}
+  p && /^    }$/ {p=0}
+' "$REF/src/convolver/ConvolverProcessor.Internal.h" \
+    > /tmp/minphase_internal.inc
+awk '
+  /^juce::AudioBuffer<double> convertToMinimumPhase/ {p=1}
+  p {print}
+  p && /^}/ {p=0}
+' "$REF/src/convolver/ConvolverProcessor.ResampleAndFallback.cpp" \
+    > /tmp/minphase_extract.inc
+awk '
+  /^juce::AudioBuffer<double> ConvolverProcessor::convertToMixedPhaseFallback/ {p=1}
+  p {sub(/ConvolverProcessor::/, ""); print}
+  p && /^}/ {p=0}
+' "$REF/src/convolver/ConvolverProcessor.MixedPhase.cpp" \
+    > /tmp/mixedfallback_extract.inc
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    -include array "$HERE/dump_minphase.cpp" -o /tmp/dump_minphase
+/tmp/dump_minphase > "$OUT/minphase.json"
+echo "wrote $OUT/minphase.json"

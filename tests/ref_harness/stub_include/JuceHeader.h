@@ -5,6 +5,7 @@
 #pragma once
 #include <algorithm>
 #include <cstring>
+#include <vector>
 
 #ifndef JUCE_DECLARE_NON_COPYABLE
 #define JUCE_DECLARE_NON_COPYABLE(cls) \
@@ -61,6 +62,39 @@ template <typename T>
 struct MathConstants {
     static constexpr T pi = static_cast<T>(3.141592653589793238462643383279502884L);
     static constexpr T twoPi = static_cast<T>(2) * pi;
+};
+
+// Minimal owning AudioBuffer — only the surface the loader-thread
+// converters (min-phase / mixed-phase) touch.
+template <typename T>
+class AudioBuffer {
+public:
+    AudioBuffer() noexcept = default;
+    AudioBuffer(int numCh, int numSmp)
+        : numChannels_(numCh), numSamples_(numSmp),
+          data_(static_cast<size_t>(numCh) * static_cast<size_t>(numSmp),
+                T()) {}
+    int getNumChannels() const noexcept { return numChannels_; }
+    int getNumSamples() const noexcept { return numSamples_; }
+    const T* getReadPointer(int ch) const noexcept {
+        return data_.data()
+               + static_cast<size_t>(ch) * static_cast<size_t>(numSamples_);
+    }
+    T* getWritePointer(int ch) noexcept {
+        return data_.data()
+               + static_cast<size_t>(ch) * static_cast<size_t>(numSamples_);
+    }
+    void copyFrom(int dstCh, int dstStart, const AudioBuffer& src,
+                  int srcCh, int srcStart, int n) noexcept {
+        std::memcpy(getWritePointer(dstCh) + dstStart,
+                    src.getReadPointer(srcCh) + srcStart,
+                    sizeof(T) * static_cast<size_t>(n));
+    }
+
+private:
+    int numChannels_ = 0;
+    int numSamples_ = 0;
+    std::vector<T> data_;
 };
 
 struct FloatVectorOperations {

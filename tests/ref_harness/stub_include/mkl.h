@@ -5,6 +5,14 @@
 
 typedef long long MKL_INT64;
 typedef int MKL_INT;
+typedef long long MKL_LONG;
+
+struct MKL_Complex16 {
+    double real;
+    double imag;
+};
+
+#include "mkl_dfti.h"
 
 inline void* mkl_malloc(size_t size, int alignment) {
     void* p = nullptr;

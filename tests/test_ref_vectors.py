@@ -657,3 +657,49 @@ def test_nuc_engine_long_3layer_matches_reference_binary():
         exp[:total - total % 4096].reshape(-1, 4096) ** 2, axis=1))
     np.testing.assert_allclose(rms, np.asarray(L["out_rms4096"]),
                                rtol=1e-9, atol=0, err_msg="long: rms")
+
+
+# ---------------------------------------------------------------------------
+# Loader-thread phase converters: tests/ref_harness/dump_minphase.cpp
+# extracts convertToMinimumPhase (ResampleAndFallback.cpp:333-469) and
+# convertToMixedPhaseFallback (MixedPhase.cpp:721-866) VERBATIM at
+# dump-build time and runs them against stub DFTI/VML (portable radix-2
+# FFT).  Inputs are dumped alongside outputs, so these tests consume
+# bit-identical inputs.
+# ---------------------------------------------------------------------------
+
+def test_minimum_phase_matches_reference_binary():
+    v = _load("minphase.json")
+    from convopeq_tpu.ir.phase import minimum_phase
+    for c in v["minphase"]:
+        for ch in range(c["channels"]):
+            x = np.asarray(c[f"input_{ch}"])
+            want = np.asarray(c[f"output_{ch}"])
+            got = minimum_phase(x)
+            scale = max(1.0, np.abs(want).max())
+            np.testing.assert_allclose(
+                got, want, rtol=0, atol=1e-13 * scale,
+                err_msg=f"minimum_phase {c['name']} ch{ch} diverges from "
+                        f"the reference binary")
+
+
+def test_mixed_phase_fallback_matches_reference_binary():
+    """Also pins the fallback's fftSize = nextPow2(N) (NOT the 4N of the
+    min-phase/allpass paths, MixedPhase.cpp:749) — with 4N padding the
+    nonpow2 cases diverge at O(1)."""
+    v = _load("minphase.json")
+    from convopeq_tpu.ir.phase import mixed_phase_fallback
+    mp_by = {c["name"]: c for c in v["minphase"]}
+    for c in v["fallback"]:
+        mp = mp_by[c["mp_case"]]
+        for ch in range(c["channels"]):
+            lin = np.asarray(mp[f"input_{ch}"])
+            mini = np.asarray(mp[f"output_{ch}"])
+            want = np.asarray(c[f"output_{ch}"])
+            got = mixed_phase_fallback(lin, mini, 48000.0,
+                                       float(c["lo"]), float(c["hi"]))
+            scale = max(1.0, np.abs(want).max())
+            np.testing.assert_allclose(
+                got, want, rtol=0, atol=1e-13 * scale,
+                err_msg=f"mixed_phase_fallback {c['name']} ch{ch} diverges "
+                        f"from the reference binary")
