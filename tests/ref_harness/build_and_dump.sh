@@ -142,3 +142,10 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
     -include array "$HERE/dump_minphase.cpp" -o /tmp/dump_minphase
 /tmp/dump_minphase > "$OUT/minphase.json"
 echo "wrote $OUT/minphase.json"
+
+# IRAnalyzer: compiled unmodified (self-contained FFT, JUCE stub only)
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+    -include array "$HERE/dump_iranalyzer.cpp" "$REF/src/IRAnalyzer.cpp" \
+    -o /tmp/dump_ira
+/tmp/dump_ira > "$OUT/iranalyzer.json"
+echo "wrote $OUT/iranalyzer.json"

@@ -703,3 +703,26 @@ def test_mixed_phase_fallback_matches_reference_binary():
                 got, want, rtol=0, atol=1e-13 * scale,
                 err_msg=f"mixed_phase_fallback {c['name']} ch{ch} diverges "
                         f"from the reference binary")
+
+
+def test_ir_analyzer_matches_reference_binary():
+    """tests/ref_harness/dump_iranalyzer.cpp compiles the reference's
+    IRAnalyzer.cpp UNMODIFIED (self-contained FFT) and dumps
+    estimateMaxFrequencyResponseGain over Tukey/coherent-gain/cap/
+    Gaussian-interp shapes (src/IRAnalyzer.cpp:63-157)."""
+    v = _load("iranalyzer.json")
+    from convopeq_tpu.ir.analyzer import estimate_max_frequency_gain
+    for c in v["cases"]:
+        if c["ir"] is not None:
+            ir = np.asarray(c["ir"])
+        else:
+            # long_capped: xorshift decay + a strong tone after the
+            # 65,536-sample analysis cap (reproduces the C++ generator)
+            n = int(c["n"])
+            ir = _xs64(0xC3, n) * np.exp(-np.arange(n) / 20000.0)
+            i = np.arange(n)
+            ir[70000:] += 0.8 * np.sin(2 * np.pi * i[70000:] * 0.02)
+        got = estimate_max_frequency_gain(ir)
+        want = float(c["gain"])
+        assert abs(got - want) <= 1e-11 * max(1.0, abs(want)), (
+            f"IRAnalyzer {c['name']}: ours {got} vs reference binary {want}")
