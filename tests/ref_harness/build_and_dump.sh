@@ -149,3 +149,25 @@ g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
     -o /tmp/dump_ira
 /tmp/dump_ira > "$OUT/iranalyzer.json"
 echo "wrote $OUT/iranalyzer.json"
+
+# FULL EQ engine: all nine EQProcessor TUs compiled unmodified (stub
+# JUCE + shadow ISR retire header; stub -I must come FIRST so
+# stub_include/audioengine/ISRRuntimePublicationCoordinator.h shadows
+# the reference's, whose 16-byte atomic static_assert g++ can't satisfy)
+g++ -std=c++20 -O2 -mavx2 -mfma -msse4.1 -I"$HERE/stub_include" \
+    -I"$REF/src" \
+    -include array -D'jassert(x)=((void)0)' -D'jassertfalse=((void)0)' \
+    -D'__assume(x)=((void)0)' -D'DBG(x)=((void)0)' \
+    "$HERE/dump_eq_full.cpp" \
+    "$REF/src/eqprocessor/EQProcessor.Core.cpp" \
+    "$REF/src/eqprocessor/EQProcessor.Processing.cpp" \
+    "$REF/src/eqprocessor/EQProcessor.Coefficients.cpp" \
+    "$REF/src/eqprocessor/EQProcessor.Parameters.cpp" \
+    "$REF/src/eqprocessor/EQProcessor.ProcessingCache.cpp" \
+    "$REF/src/eqprocessor/BandHelper.cpp" \
+    "$REF/src/eqprocessor/EQResponseSampler.cpp" \
+    "$REF/src/eqprocessor/PeakEstimator.cpp" \
+    "$REF/src/eqprocessor/UpperBoundEstimator.cpp" \
+    -o /tmp/dump_eqf
+/tmp/dump_eqf > "$OUT/eq_full.json"
+echo "wrote $OUT/eq_full.json"

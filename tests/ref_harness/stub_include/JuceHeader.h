@@ -4,7 +4,9 @@
 // AbstractFifo for diagnostics we never read).
 #pragma once
 #include <algorithm>
+#include <cmath>
 #include <cstring>
+#include <string>
 #include <vector>
 
 #ifndef JUCE_DECLARE_NON_COPYABLE
@@ -43,6 +45,31 @@ public:
     template <typename... A>
     static String formatted(const char*, A...) { return {}; }
     String operator+(const String&) const { return {}; }
+    // compile-only surface for functions the harness never calls
+    String trim() const { return {}; }
+    std::string toStdString() const { return {}; }
+    bool startsWithIgnoreCase(const String&) const { return false; }
+    bool isEmpty() const { return true; }
+    bool isNotEmpty() const { return false; }
+    float getFloatValue() const { return 0.0f; }
+    int getIntValue() const { return 0; }
+    double getDoubleValue() const { return 0.0; }
+    bool equalsIgnoreCase(const String&) const { return false; }
+    bool containsIgnoreCase(const String&) const { return false; }
+    String toLowerCase() const { return {}; }
+    String toUpperCase() const { return {}; }
+    String upToFirstOccurrenceOf(const String&, bool, bool) const {
+        return {};
+    }
+    String fromFirstOccurrenceOf(const String&, bool, bool) const {
+        return {};
+    }
+    String substring(int, int = 0) const { return {}; }
+    bool startsWith(const String&) const { return false; }
+    bool contains(const String&) const { return false; }
+    bool containsAnyOf(const String&) const { return false; }
+    String removeCharacters(const String&) const { return {}; }
+    int length() const { return 0; }
 };
 inline String operator+(const char* a, const String&) { return String(a); }
 
@@ -56,12 +83,124 @@ struct MessageManager {
         return &m;
     }
     bool isThisTheMessageThread() const noexcept { return true; }
+    template <typename Fn> static bool callAsync(Fn&&) { return true; }
 };
 
 template <typename T>
 struct MathConstants {
     static constexpr T pi = static_cast<T>(3.141592653589793238462643383279502884L);
     static constexpr T twoPi = static_cast<T>(2) * pi;
+};
+
+// Compile-only stubs for the EQProcessor TUs: state-IO types (never
+// driven by the dump harness), ChangeBroadcaster, Decibels, denormal
+// scope.  Functions that USE these (getState/setState/loadFromTextFile)
+// compile but are never called.
+class ChangeBroadcaster {
+public:
+    virtual ~ChangeBroadcaster() = default;
+    void sendChangeMessage() {}
+};
+
+class var {
+public:
+    var() = default;
+    template <typename T> var(const T&) {}
+    operator float() const { return 0.0f; }
+    operator double() const { return 0.0; }
+    operator int() const { return 0; }
+    operator bool() const { return false; }
+};
+
+class Identifier {
+public:
+    template <typename T> Identifier(const T&) {}
+};
+
+class ValueTree {
+public:
+    ValueTree() = default;
+    template <typename T> explicit ValueTree(const T&) {}
+    bool isValid() const { return false; }
+    ValueTree& setProperty(const Identifier&, const var&, void*) {
+        return *this;
+    }
+    var getProperty(const Identifier&, const var& dflt = {}) const {
+        return dflt;
+    }
+    void appendChild(const ValueTree&, void*) {}
+    void addChild(const ValueTree&, int, void*) {}
+    int getNumChildren() const { return 0; }
+    ValueTree getChild(int) const { return {}; }
+    bool hasType(const Identifier&) const { return false; }
+    bool hasProperty(const Identifier&) const { return false; }
+    String getType() const { return {}; }
+    const ValueTree* begin() const { return nullptr; }
+    const ValueTree* end() const { return nullptr; }
+};
+
+class File {
+public:
+    File() = default;
+    bool existsAsFile() const { return false; }
+    String loadFileAsString() const { return {}; }
+    String getFullPathName() const { return {}; }
+    template <typename T> void readLines(T&) const {}
+};
+
+class StringArray {
+public:
+    void addLines(const String&) {}
+    void addTokens(const String&, const char*, const char*) {}
+    template <typename... A> void addTokens(A&&...) {}
+    int size() const { return 0; }
+    String operator[](int) const { return {}; }
+    void trim() {}
+    void removeEmptyStrings() {}
+    void add(const String&) {}
+    bool isEmpty() const { return true; }
+    const String* begin() const { return nullptr; }
+    const String* end() const { return nullptr; }
+};
+
+struct Decibels {
+    template <typename T>
+    static T decibelsToGain(T db, T minusInfinityDb = T(-100)) {
+        return db > minusInfinityDb
+                   ? std::pow(T(10), db * T(0.05)) : T(0);
+    }
+    template <typename T>
+    static T gainToDecibels(T gain, T minusInfinityDb = T(-100)) {
+        return gain > T(0)
+                   ? std::max(minusInfinityDb,
+                              std::log10(gain) * T(20)) : minusInfinityDb;
+    }
+};
+
+struct ScopedNoDenormals {
+    ScopedNoDenormals() noexcept {}
+    ~ScopedNoDenormals() noexcept {}
+};
+
+struct MessageManagerLock {
+    MessageManagerLock() {}
+    bool lockWasGained() const { return true; }
+};
+
+struct NativeMessageBox {
+    template <typename... A> static void showAsync(A&&...) {}
+};
+
+enum class MessageBoxIconType { NoIcon, QuestionIcon, WarningIcon,
+                                InfoIcon };
+
+struct MessageBoxOptions {
+    template <typename... A>
+    static MessageBoxOptions makeOptionsOk(A&&...) { return {}; }
+    MessageBoxOptions withIconType(MessageBoxIconType) const { return {}; }
+    MessageBoxOptions withTitle(const String&) const { return {}; }
+    MessageBoxOptions withMessage(const String&) const { return {}; }
+    MessageBoxOptions withButton(const String&) const { return {}; }
 };
 
 // Minimal owning AudioBuffer — only the surface the loader-thread
@@ -90,6 +229,13 @@ public:
                     src.getReadPointer(srcCh) + srcStart,
                     sizeof(T) * static_cast<size_t>(n));
     }
+    T getMagnitude(int ch, int start, int n) const noexcept {
+        T m = T();
+        const T* p = getReadPointer(ch);
+        for (int i = start; i < start + n; ++i)
+            m = std::max(m, std::abs(p[i]));
+        return m;
+    }
 
 private:
     int numChannels_ = 0;
@@ -106,6 +252,30 @@ struct FloatVectorOperations {
     }
     static void copy(double* dst, const double* src, int n) noexcept {
         std::memmove(dst, src, sizeof(double) * static_cast<size_t>(n));
+    }
+    static void add(double* dst, const double* src, int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] += src[i];
+    }
+    static void add(double* dst, const double* a, const double* b,
+                    int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] = a[i] + b[i];
+    }
+    static void subtract(double* dst, const double* src, int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] -= src[i];
+    }
+    static void subtract(double* dst, const double* a, const double* b,
+                         int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] = a[i] - b[i];
+    }
+    static void multiply(double* dst, double v, int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] *= v;
+    }
+    static void multiply(double* dst, const double* src, int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] *= src[i];
+    }
+    static void addWithMultiply(double* dst, const double* src, double v,
+                                int n) noexcept {
+        for (int i = 0; i < n; ++i) dst[i] += src[i] * v;
     }
 };
 

@@ -726,3 +726,67 @@ def test_ir_analyzer_matches_reference_binary():
         want = float(c["gain"])
         assert abs(got - want) <= 1e-11 * max(1.0, abs(want)), (
             f"IRAnalyzer {c['name']}: ours {got} vs reference binary {want}")
+
+
+# ---------------------------------------------------------------------------
+# FULL EQ engine ground truth: tests/ref_harness/dump_eq_full.cpp compiles
+# ALL NINE EQProcessor TUs UNMODIFIED (Core/Processing/Coefficients/
+# Parameters/ProcessingCache/BandHelper/EQResponseSampler/PeakEstimator/
+# UpperBoundEstimator; stub JUCE + a shadow ISR retire header) and drives
+# the real prepareToPlay -> setters -> process() pipeline.  These cases
+# pin END-TO-END routing the kernel dumps cannot: serial cascade order,
+# parallel accumulation, M/S + L/R channel modes, enable/0.01dB skip,
+# full-path saturation, block-rate AGC, and the 96 kHz coefficient path.
+# ---------------------------------------------------------------------------
+
+def _xs64_stereo(seed, n, scale):
+    """Interleaved L/R xorshift64* program, bit-exact vs dump_eq_full."""
+    mask = (1 << 64) - 1
+    s = seed
+    L = np.empty(n)
+    R = np.empty(n)
+    for i in range(n):
+        s ^= s >> 12
+        s = (s ^ (s << 25)) & mask
+        s ^= s >> 27
+        L[i] = ((((s * 2685821657736338717) & mask) >> 11)
+                * (1.0 / 9007199254740992.0) - 0.5) * scale
+        s ^= s >> 12
+        s = (s ^ (s << 25)) & mask
+        s ^= s >> 27
+        R[i] = ((((s * 2685821657736338717) & mask) >> 11)
+                * (1.0 / 9007199254740992.0) - 0.5) * scale
+    return L, R
+
+
+def test_eq_full_engine_matches_reference_binary():
+    v = _load("eq_full.json")
+    from convopeq_tpu.models.eq import EQParams, eq_process
+    B = int(v["block"])
+    total = B * int(v["nblocks"])
+    for c in v["cases"]:
+        p = EQParams()
+        p.enabled[:] = False
+        for bd in c["bands"]:
+            p.set_band(bd["idx"], band_type=bd["type"], freq=bd["freq"],
+                       gain_db=bd["gain"], q=bd["q"], mode=bd["mode"],
+                       enabled=True)
+        p.structure = int(c["structure"])
+        p.saturation = float(c["saturation"])
+        p.agc_enabled = bool(c["agc"])
+        L, R = _xs64_stereo(int(c["seed"]), total, float(c["in_scale"]))
+        x = np.stack([L, R])
+        y = np.asarray(eq_process(x, p, float(c["sr"]), block_size=B))
+        wl = np.asarray(c["out_l"])
+        wr = np.asarray(c["out_r"])
+        sc = max(1.0, np.abs(wl).max(), np.abs(wr).max())
+        # linear cases track at f64 roundoff; the saturated cascade
+        # compounds the tanh-policy scan reassociation to ~1e-8
+        tol = 5e-8 if float(c["saturation"]) > 0 else 1e-13
+        np.testing.assert_allclose(
+            y[0], wl, rtol=0, atol=tol * sc,
+            err_msg=f"EQ full engine {c['name']} L diverges from the "
+                    f"reference binary")
+        np.testing.assert_allclose(
+            y[1], wr, rtol=0, atol=tol * sc,
+            err_msg=f"EQ full engine {c['name']} R diverges")
