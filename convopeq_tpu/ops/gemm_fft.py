@@ -40,13 +40,17 @@ def _factor(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-def _mats(p: int):
-    """Host-built stage matrices + twiddles for frame size N = 2p."""
-    mats = _MAT_CACHE.get(p)
+def _mats(p: int, n1: int | None = None):
+    """Host-built stage matrices + twiddles for frame size N = 2p.
+
+    `n1` overrides the balanced factorization (the fused Pallas kernels
+    need N2 >= 128 so the lane dimension meets the TPU tile minimum)."""
+    key = (p, n1)
+    mats = _MAT_CACHE.get(key)
     if mats is not None:
         return mats
     N = 2 * p
-    N1, N2 = _factor(N)
+    N1, N2 = _factor(N) if n1 is None else (n1, N // n1)
     K2 = N2 // 2 + 1
 
     n1 = np.arange(N1)
@@ -81,7 +85,7 @@ def _mats(p: int):
 
     mats = (N1, N2, K2, f1c, f1s, ftc, fts, f2c, f2s,
             w, i1c, i1s, itc, its, i2c, i2s)
-    _MAT_CACHE[p] = mats
+    _MAT_CACHE[key] = mats
     return mats
 
 

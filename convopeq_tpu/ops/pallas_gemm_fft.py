@@ -1,0 +1,257 @@
+"""Fused two-stage GEMM-FFT Pallas kernels for the NUC transforms.
+
+Why this exists: the XLA form of the Cooley-Tukey GEMM FFT
+(`ops/gemm_fft.py`) must materialize every stage to HBM — stage-1 GEMM,
+twiddle multiply, stage-2 GEMM each read and write the full (rows, 2p)
+intermediate.  Profiled on v5e at the headline shape (p=16384, 64
+channel-streams x 60 s), the fwd+inv transform pair is ~100 ms of the
+~117 ms single-layer NUC call while the frame MAC is ~25 ms, and the
+pair's wall is nearly precision-insensitive (HIGHEST->HIGH changes it
+<5%) — i.e. it is bound by HBM pass count, not MXU flops.
+
+These kernels run both stages and the twiddle for a tile of frames
+entirely in VMEM: per frame ONE HBM read (the 2p-sample overlap-save
+frame) and ONE write (the p+1-bin split spectrum on a stage grid).  The
+stage matrices (a few hundred KB) ride along as replicated VMEM blocks.
+
+Layout contract (shared by forward, MAC, and inverse — callers never
+reorder bins): the forward output is the (k2, k1) STAGE GRID of the
+rfft, flattened to gbins = K2*N1 entries per frame:
+
+    grid[k2, k1]  <->  rfft bin k = k1 + N1*k2      (k <= p kept,
+                                                     k > p zeroed)
+
+`spectra_to_grid` maps partition spectra (P, p+1) onto the same grid, so
+the causal frame MAC is elementwise-per-gbin exactly as on natural-order
+bins.  The inverse kernel consumes the grid directly (its synthesis
+weights are zero on the k > p pad) and emits the valid second half of
+each overlap-save frame.
+
+Reference parity: pinned against jnp.fft.rfft / the valid half of
+jnp.fft.irfft by tests/test_pallas.py (same contract as ops/gemm_fft,
+which these kernels accelerate; the NUC semantics being reproduced are
+MKLNonUniformConvolver.cpp:1245-1336 overlap-save).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gemm_fft import _factor, _mats
+
+# Per-kernel matmul mode.  Mosaic lowers dot precision only as DEFAULT
+# (bf16x1) or HIGHEST (bf16x6 ~ f32); "bf16x3" is a manual split-operand
+# scheme (a = hi + lo in bf16; hi@hi + hi@lo + lo@hi with f32
+# accumulation) matching XLA Precision.HIGH accuracy at 3 full-rate MXU
+# passes.  Measured at the headline shape (p=16384, 64 ch-streams x
+# 60 s, v5e): full conv 118 ms bf16x3 vs 140 ms f32-HIGHEST vs 147 ms
+# XLA pipeline; chain-level error 7.4e-6 relative — two orders below
+# the f32 chain floor (~5.6e-4), so bf16x3 is the fast-mode default.
+PALLAS_DOT_MODE = "bf16x3"     # "f32" (HIGHEST) | "bf16x3"
+
+
+def _split_bf16(m):
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(mode):
+    if mode == "bf16x3":
+        def dot(a, b):
+            ah, al = _split_bf16(a)
+            bh, bl = _split_bf16(b)
+            return (jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+                    + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+                    + jnp.dot(al, bh, preferred_element_type=jnp.float32))
+        return dot
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    return dot
+
+_GRID_CACHE: dict = {}
+
+
+def _pfactor(N: int) -> tuple[int, int]:
+    """Pallas factorization N = N1*N2: balanced, but N2 >= 128 so the
+    in-kernel (N1, N2) reshape meets the TPU lane-tile minimum."""
+    N1, N2 = _factor(N)
+    if N2 < 128:
+        N2 = 128
+        N1 = N // 128
+    return N1, N2
+
+
+def grid_bins(p: int) -> tuple[int, int, int]:
+    """(N1, K2, gbins) for frame size N = 2p on the two-stage grid."""
+    N1, N2 = _pfactor(2 * p)
+    K2 = N2 // 2 + 1
+    return N1, K2, N1 * K2
+
+
+def _grid_maps(p: int):
+    """Host-built transposed stage operands for the fused kernels."""
+    got = _GRID_CACHE.get(p)
+    if got is not None:
+        return got
+    (_N1, _N2, _K2, f1c, f1s, ftc, fts, f2c, f2s,
+     w, i1c, i1s, itc, its, i2c, i2s) = _mats(p, _pfactor(2 * p)[0])
+    # forward works in (n2, k1) layout: needs ftc/fts/f2c/f2s transposed
+    fwd = (f1c, f1s, ftc.T.copy(), fts.T.copy(), f2c.T.copy(),
+           f2s.T.copy())
+    # inverse works in (k2, k1) -> (j2, k1) layout
+    inv = (w.T.copy(), i1c.T.copy(), i1s.T.copy(), itc.T.copy(),
+           its.T.copy(), i2c, i2s)
+    _GRID_CACHE[p] = (fwd, inv)
+    return fwd, inv
+
+
+def spectra_to_grid(Hr, Hi, p: int):
+    """Map natural-order partition spectra (..., p+1) onto the flattened
+    (k2, k1) stage grid (..., gbins).
+
+    Because k = k1 + N1*k2 and the grid flattens row-major over (k2, k1),
+    the flat grid index of bin k IS k — the map is a zero-pad from p+1 to
+    gbins (the pad covers the conjugate-symmetric k > p positions the
+    inverse synthesis weights already zero)."""
+    _N1, _K2, g = grid_bins(p)
+    pad = [(0, 0)] * (Hr.ndim - 1) + [(0, g - (p + 1))]
+    return jnp.pad(Hr, pad), jnp.pad(Hi, pad)
+
+
+def _fwd_kernel(osa_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref, f2cT_ref,
+                f2sT_ref, xr_ref, xi_ref, *, tile: int, n1: int, n2: int,
+                mode: str):
+    dot = _make_dot(mode)
+    f1c = f1c_ref[:]
+    f1s = f1s_ref[:]
+    ftcT = ftcT_ref[:]
+    ftsT = ftsT_ref[:]
+    f2cT = f2cT_ref[:]
+    f2sT = f2sT_ref[:]
+    for t in range(tile):
+        at = osa_ref[t].reshape(n1, n2).T          # (n2, n1)
+        # stage 1 (contract n1 -> k1); f1c/f1s are symmetric
+        br = dot(at, f1c)
+        bi = dot(at, f1s)
+        # twiddle W_N^{n2 k1} in (n2, k1) layout
+        cr = br * ftcT - bi * ftsT
+        ci = br * ftsT + bi * ftcT
+        # stage 2 (contract n2 -> k2): output (k2, k1)
+        xr_ref[t] = dot(f2cT, cr) - dot(f2sT, ci)
+        xi_ref[t] = dot(f2sT, cr) + dot(f2cT, ci)
+
+
+def _inv_kernel(yr_ref, yi_ref, wT_ref, i1cT_ref, i1sT_ref, itcT_ref,
+                itsT_ref, i2c_ref, i2s_ref, out_ref, *, tile: int, n1: int,
+                n2: int, mode: str):
+    dot = _make_dot(mode)
+    wT = wT_ref[:]
+    i1cT = i1cT_ref[:]
+    i1sT = i1sT_ref[:]
+    itcT = itcT_ref[:]
+    itsT = itsT_ref[:]
+    i2c = i2c_ref[:]
+    i2s = i2s_ref[:]
+    for t in range(tile):
+        ur = yr_ref[t] * wT                        # (k2, k1)
+        ui = yi_ref[t] * wT
+        # stage 1 (contract k2 -> j2): (j2, k1)
+        dr = dot(i1cT, ur) - dot(i1sT, ui)
+        di = dot(i1sT, ur) + dot(i1cT, ui)
+        # twiddle e^{+2 pi i k1 j2 / N} in (j2, k1) layout
+        er = dr * itcT - di * itsT
+        ei = dr * itsT + di * itcT
+        # stage 2 (contract k1 -> j1, real part): (j2, j1) -> (j1, j2)
+        yj = dot(er, i2c) - dot(ei, i2s)
+        out_ref[t] = yj.T.reshape(-1)              # j = j2 + n2*j1
+
+
+def _pick_tile(rows: int) -> int:
+    for t in (8, 4, 2, 1):
+        if rows % t == 0:
+            return t
+    return 1
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _rfft_two_stage_impl(osa, p: int, interpret: bool, mode: str):
+    """rfft of (..., 2p) f32 overlap-save frames -> split grid spectra
+    (..., gbins) on the (k2, k1) stage grid (see module docstring)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = osa.shape
+    rows = int(np.prod(shape[:-1]))
+    N = 2 * p
+    N1, N2 = _pfactor(N)
+    K2 = N2 // 2 + 1
+    (f1c, f1s, ftcT, ftsT, f2c, f2s), _ = _grid_maps(p)
+    tile = _pick_tile(rows)
+    x2 = osa.reshape(rows, N).astype(jnp.float32)
+
+    consts = [jnp.asarray(m, jnp.float32)
+              for m in (f1c, f1s, ftcT, ftsT, f2c, f2s)]
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (0,) * nd)(m.ndim),
+                          memory_space=pltpu.VMEM) for m in consts]
+    xr, xi = pl.pallas_call(
+        partial(_fwd_kernel, tile=tile, n1=N1, n2=N2, mode=mode),
+        grid=(rows // tile,),
+        in_specs=[pl.BlockSpec((tile, N), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)] + cspec,
+        out_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, K2, N1), jnp.float32)] * 2,
+        interpret=interpret,
+    )(x2, *consts)
+    g = K2 * N1
+    return (xr.reshape(shape[:-1] + (g,)), xi.reshape(shape[:-1] + (g,)))
+
+
+def rfft_two_stage_pallas(osa, p: int, interpret: bool = False):
+    return _rfft_two_stage_impl(osa, p, interpret, PALLAS_DOT_MODE)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
+                                mode: str):
+    """Valid (second) half of irfft from split grid spectra (..., gbins)
+    -> (..., p) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = Yr.shape
+    rows = int(np.prod(shape[:-1]))
+    N = 2 * p
+    N1, N2 = _pfactor(N)
+    K2 = N2 // 2 + 1
+    _, (wT, i1cT, i1sT, itcT, itsT, i2c, i2s) = _grid_maps(p)
+    tile = _pick_tile(rows)
+    yr2 = Yr.reshape(rows, K2, N1).astype(jnp.float32)
+    yi2 = Yi.reshape(rows, K2, N1).astype(jnp.float32)
+
+    consts = [jnp.asarray(m, jnp.float32)
+              for m in (wT, i1cT, i1sT, itcT, itsT, i2c, i2s)]
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (0,) * nd)(m.ndim),
+                          memory_space=pltpu.VMEM) for m in consts]
+    out = pl.pallas_call(
+        partial(_inv_kernel, tile=tile, n1=N1, n2=N2, mode=mode),
+        grid=(rows // tile,),
+        in_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2 + cspec,
+        out_specs=pl.BlockSpec((tile, p), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, p), jnp.float32),
+        interpret=interpret,
+    )(yr2, yi2, *consts)
+    return out.reshape(shape[:-1] + (p,))
+
+
+def irfft_valid_two_stage_pallas(Yr, Yi, p: int, interpret: bool = False):
+    return _irfft_valid_two_stage_impl(Yr, Yi, p, interpret,
+                                       PALLAS_DOT_MODE)

@@ -149,6 +149,17 @@ def _irfft_valid_matmul(Yr, Yi, p: int):
 RDFT_MATMUL_MAX_P = 1024
 
 
+def _pallas_fft_enabled() -> bool:
+    """Fused Pallas transforms for large partitions on TPU (opt-out via
+    CONVOPEQ_PALLAS_FFT=0)."""
+    import os
+    if os.environ.get("CONVOPEQ_PALLAS_FFT", "1") == "0":
+        return False
+    # accelerator backends here are TPU-family ("tpu" or the tunneled
+    # "axon"); the CPU case is already routed to the frame-FFT form
+    return jax.default_backend() != "cpu"
+
+
 def _mac_matmul_ri(Xr, Xi, Hr, Hi, chunk: int = 128):
     """Split-real banded block-Toeplitz GEMM frame MAC: with chunk >= P
     the causal band spans at most two frame-chunks, so per bin
@@ -300,6 +311,12 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             frame_mac = "fft"
         elif p <= RDFT_MATMUL_MAX_P:
             frame_mac = "rdft"
+        elif _pallas_fft_enabled():
+            # tail partitions: fused two-stage Pallas transforms — both
+            # GEMM stages + twiddle stay in VMEM, one HBM read/write per
+            # frame vs the XLA pipeline's materialized intermediates
+            # (measured the dominant cost of the single-layer headline)
+            frame_mac = "pallas"
         else:
             # tail partitions: two-stage (Cooley-Tukey) GEMM transforms —
             # the direct DFT's O(p^2) matrices don't scale, and the VPU
@@ -307,7 +324,16 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             # MAC's Toeplitz operands also scale with bins*chunk^2, so the
             # MAC stays on the depthwise conv (few frames).
             frame_mac = "gemmfft"
-    if frame_mac == "rdft":
+    if frame_mac == "pallas":
+        from .pallas_gemm_fft import (rfft_two_stage_pallas,
+                                      irfft_valid_two_stage_pallas,
+                                      spectra_to_grid)
+        Xr, Xi = rfft_two_stage_pallas(osa, p)
+        Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
+        Y = _causal_frame_mac(jax.lax.complex(Xr, Xi),
+                              jax.lax.complex(Gr, Gi))
+        y = irfft_valid_two_stage_pallas(jnp.real(Y), jnp.imag(Y), p)
+    elif frame_mac == "rdft":
         Xr, Xi = _rfft_matmul(osa, p)
         Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))
         y = _irfft_valid_matmul(Yr, Yi, p)

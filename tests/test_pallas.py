@@ -58,3 +58,71 @@ def test_fdl_mac_complex_wrapper():
     y = pk.fdl_mac_complex(jnp.asarray(fdl), jnp.asarray(H), interpret=True)
     ref = (fdl * H).sum(axis=-2)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
+def test_two_stage_pallas_fft_matches_numpy():
+    """Fused fwd/inv two-stage GEMM-FFT kernels (interpret mode) vs
+    numpy rfft / valid-half irfft, both dot modes, two partition sizes,
+    plus the grid round trip through the frame MAC layout."""
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(7)
+    for p in (512, 2048):
+        osa = jnp.asarray(rng.normal(size=(2, 3, 2 * p)), jnp.float32)
+        ref = np.fft.rfft(np.asarray(osa), axis=-1)
+        sig = rng.normal(size=(2, 2 * p)).astype(np.float32)
+        S = np.fft.rfft(sig, axis=-1)
+        ref_y = np.fft.irfft(S, n=2 * p, axis=-1)[..., p:]
+        for mode, tol in (("f32", 3e-6), ("bf16x3", 6e-5)):
+            old = pg.PALLAS_DOT_MODE
+            pg.PALLAS_DOT_MODE = mode
+            try:
+                Xr, Xi = pg.rfft_two_stage_pallas(osa, p, True)
+                scale = np.abs(ref).max()
+                np.testing.assert_allclose(
+                    np.asarray(Xr)[..., :p + 1], ref.real, rtol=0,
+                    atol=tol * scale, err_msg=f"fwd re p={p} {mode}")
+                np.testing.assert_allclose(
+                    np.asarray(Xi)[..., :p + 1], ref.imag, rtol=0,
+                    atol=tol * scale, err_msg=f"fwd im p={p} {mode}")
+                Gr, Gi = pg.spectra_to_grid(
+                    jnp.asarray(S.real, jnp.float32),
+                    jnp.asarray(S.imag, jnp.float32), p)
+                y = pg.irfft_valid_two_stage_pallas(Gr, Gi, p, True)
+                np.testing.assert_allclose(
+                    np.asarray(y), ref_y, rtol=0,
+                    atol=tol * max(1.0, np.abs(ref_y).max()),
+                    err_msg=f"inv p={p} {mode}")
+            finally:
+                pg.PALLAS_DOT_MODE = old
+
+
+def test_uniform_partitioned_conv_pallas_path():
+    """frame_mac='pallas' (interpret via monkeypatched kernels on CPU)
+    equals the frame-FFT reference path."""
+    from convopeq_tpu.ops import partitioned_conv as pc
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(3)
+    p = 512
+    x = jnp.asarray(rng.normal(size=(2, 5000)), jnp.float32)
+    h = rng.normal(size=3 * p + 100) * np.exp(-np.arange(3 * p + 100) / 800.0)
+    H = pc.partition_spectra(jnp.asarray(h, jnp.float32), p,
+                             dtype=jnp.float32)
+    y_ref = pc.uniform_partitioned_conv(x, H, p, frame_mac="fft")
+
+    orig_f, orig_i = pg.rfft_two_stage_pallas, pg.irfft_valid_two_stage_pallas
+    pc_f = lambda osa, pp, interpret=False: orig_f(osa, pp, True)
+    pc_i = lambda Yr, Yi, pp, interpret=False: orig_i(Yr, Yi, pp, True)
+    import convopeq_tpu.ops.pallas_gemm_fft as mod
+    mod.rfft_two_stage_pallas = pc_f
+    mod.irfft_valid_two_stage_pallas = pc_i
+    try:
+        y = pc.uniform_partitioned_conv(x, H, p, frame_mac="pallas")
+    finally:
+        mod.rfft_two_stage_pallas = orig_f
+        mod.irfft_valid_two_stage_pallas = orig_i
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=6e-5 * float(jnp.abs(y_ref).max()),
+        err_msg="pallas conv path diverges from the FFT path")
