@@ -194,6 +194,28 @@ int main() {
                         bi + 1 < c.bands.size() ? "," : "");
         }
         std::printf("],\n");
+        // analysis subsystem (PeakEstimator/UpperBoundEstimator/
+        // EQResponseSampler via computeEstimatedMaxGainComplex) at the
+        // base and 4x-oversampled processing rates — the values the
+        // Builder feeds AutoGainPlanner (RebuildDispatch.cpp:666-679)
+        std::printf("\"analysis\": [");
+        for (int osi = 0; osi < 2; ++osi) {
+            const double rate = c.sr * (osi == 0 ? 1.0 : 4.0);
+            auto* st = eq.getEQState();
+            const auto r = eq.computeEstimatedMaxGainComplex(*st, rate);
+            std::printf("{\"rate\": %g, \"measured_db\": %.9g, "
+                        "\"measured_hz\": %.9g, \"measured_raw_db\": %.9g, "
+                        "\"upper_db\": %.9g, \"upper_hz\": %.9g, "
+                        "\"max_q\": %.9g}%s",
+                        rate, static_cast<double>(r.measured.gainDb),
+                        static_cast<double>(r.measured.freqHz),
+                        static_cast<double>(r.measuredRawGainDb),
+                        static_cast<double>(r.upperBound.gainDb),
+                        static_cast<double>(r.upperBound.freqHz),
+                        static_cast<double>(r.maxActiveQ),
+                        osi == 0 ? "," : "");
+        }
+        std::printf("],\n");
         dump_array("out_l", outL.data(), total, ",\n");
         dump_array("out_r", outR.data(), total, "\n");
         std::printf("}%s\n", ci + 1 < cases.size() ? "," : "");

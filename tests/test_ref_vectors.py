@@ -790,3 +790,43 @@ def test_eq_full_engine_matches_reference_binary():
         np.testing.assert_allclose(
             y[1], wr, rtol=0, atol=tol * sc,
             err_msg=f"EQ full engine {c['name']} R diverges")
+
+
+def test_eq_analysis_matches_reference_binary():
+    """EQ analysis subsystem vs the reference binary: dump_eq_full.cpp
+    calls the real EQProcessor::computeEstimatedMaxGainComplex (the nine
+    unmodified EQ TUs, so PeakEstimator + UpperBoundEstimator +
+    EQResponseSampler run end-to-end) at base and 4x-oversampled rates —
+    the exact values the Builder feeds AutoGainPlanner
+    (src/audioengine/AudioEngine.RebuildDispatch.cpp:666-679).
+
+    Our estimator samples a denser fixed log grid than the reference's
+    coarse+adaptive sampler, so agreement is sub-millidB rather than
+    bit-exact: measured peak <=1e-4 dB, conservative upper bound
+    <=2e-3 dB, maxActiveQ exact to f32."""
+    v = _load("eq_full.json")
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.engine.eq_analysis import (
+        estimate_max_gain_db, estimate_upper_bound_db, max_active_q)
+    for c in v["cases"]:
+        p = EQParams()
+        p.enabled[:] = False
+        for bd in c["bands"]:
+            p.set_band(bd["idx"], band_type=bd["type"], freq=bd["freq"],
+                       gain_db=bd["gain"], q=bd["q"], mode=bd["mode"],
+                       enabled=True)
+        p.structure = int(c["structure"])
+        for a in c["analysis"]:
+            rate = float(a["rate"])
+            meas = estimate_max_gain_db(p, rate)
+            upper, _ = estimate_upper_bound_db(p, rate)
+            q = max_active_q(p)
+            assert abs(meas - float(a["measured_db"])) <= 1e-4, (
+                f"EQ analysis {c['name']} rate={rate}: measured {meas} vs "
+                f"reference binary {a['measured_db']}")
+            assert abs(upper - float(a["upper_db"])) <= 2e-3, (
+                f"EQ analysis {c['name']} rate={rate}: upper bound {upper} "
+                f"vs reference binary {a['upper_db']}")
+            assert abs(q - float(a["max_q"])) <= 1e-6, (
+                f"EQ analysis {c['name']}: maxActiveQ {q} vs reference "
+                f"binary {a['max_q']}")
