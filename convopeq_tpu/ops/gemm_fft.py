@@ -30,7 +30,35 @@ import numpy as np
 # ladder; HIGHEST keeps the f32 path at FFT-equivalent accuracy.
 GEMM_FFT_PRECISION = jax.lax.Precision.HIGHEST
 
+# f64-on-TPU stage GEMMs route through the Ozaki bf16-slice scheme
+# (ops/ozaki.py): measured 1.9x the emulated-f64 matmul at ~6e-12
+# relative — three orders below the dd chain contract.  Opt out with
+# CONVOPEQ_OZAKI=0.  CPU f64 keeps native GEMMs (exact and fast there).
+OZAKI_SLICES = 6
+
 _MAT_CACHE: dict = {}
+_SLICED_MAT_CACHE: dict = {}
+
+
+def _ozaki_enabled(dt) -> bool:
+    import os
+    return (dt == jnp.float64
+            and os.environ.get("CONVOPEQ_OZAKI", "1") != "0"
+            and jax.default_backend() != "cpu")
+
+
+def _sliced_mats(p: int, n1: int | None = None, s: int = OZAKI_SLICES):
+    """ozaki.slice_const of every stage matrix of `_mats(p, n1)`."""
+    key = (p, n1, s)
+    sm = _SLICED_MAT_CACHE.get(key)
+    if sm is None:
+        from .ozaki import slice_const
+        (N1, N2, K2, f1c, f1s, ftc, fts, f2c, f2s,
+         w, i1c, i1s, itc, its, i2c, i2s) = _mats(p, n1)
+        sm = tuple(slice_const(m, s, scale_axis=0)
+                   for m in (f1c, f1s, f2c, f2s, i1c, i1s, i2c, i2s))
+        _SLICED_MAT_CACHE[key] = sm
+    return sm
 
 
 def _factor(n: int) -> tuple[int, int]:
@@ -98,6 +126,23 @@ def rfft_gemm(x, p: int):
     batch = x.shape[:-1]
     A = x.reshape(batch + (N1, N2))                  # [n1, n2]
     c = lambda m: jnp.asarray(m, dt)
+    if _ozaki_enabled(dt):
+        from .ozaki import contract_sliced, preslice
+        sf1c, sf1s, sf2c, sf2s, *_ = _sliced_mats(p)
+        pA = preslice("nj,nk->kj", A, len(sf1c[0]))
+        Br = contract_sliced("nj,nk->kj", A, *sf1c, presliced=pA)
+        Bi = contract_sliced("nj,nk->kj", A, *sf1s, presliced=pA)
+        Cr = Br * c(ftc) - Bi * c(fts)
+        Ci = Br * c(fts) + Bi * c(ftc)
+        pCr = preslice("mk,kn->mn", Cr, len(sf2c[0]))
+        pCi = preslice("mk,kn->mn", Ci, len(sf2c[0]))
+        Xr = (contract_sliced("mk,kn->mn", Cr, *sf2c, presliced=pCr)
+              - contract_sliced("mk,kn->mn", Ci, *sf2s, presliced=pCi))
+        Xi = (contract_sliced("mk,kn->mn", Cr, *sf2s, presliced=pCr)
+              + contract_sliced("mk,kn->mn", Ci, *sf2c, presliced=pCi))
+        Xr = jnp.swapaxes(Xr, -1, -2).reshape(batch + (N1 * K2,))[..., :p + 1]
+        Xi = jnp.swapaxes(Xi, -1, -2).reshape(batch + (N1 * K2,))[..., :p + 1]
+        return Xr, Xi
     mm = lambda a, b: jnp.einsum("...nj,nk->...kj", a, b, precision=hi)
     # stage 1 over n1 -> (..., k1, n2)
     Br = mm(A, c(f1c))
@@ -130,6 +175,23 @@ def irfft_valid_gemm(Yr, Yi, p: int):
     Ui = jnp.swapaxes(jnp.pad(Yi, pad).reshape(batch + (K2, N1)), -1, -2)
     Ur = Ur * c(w)
     Ui = Ui * c(w)
+    if _ozaki_enabled(dt):
+        from .ozaki import contract_sliced, preslice
+        *_f, si1c, si1s, si2c, si2s = _sliced_mats(p)
+        pUr = preslice("mk,kn->mn", Ur, len(si1c[0]))
+        pUi = preslice("mk,kn->mn", Ui, len(si1c[0]))
+        Dr = (contract_sliced("mk,kn->mn", Ur, *si1c, presliced=pUr)
+              - contract_sliced("mk,kn->mn", Ui, *si1s, presliced=pUi))
+        Di = (contract_sliced("mk,kn->mn", Ur, *si1s, presliced=pUr)
+              + contract_sliced("mk,kn->mn", Ui, *si1c, presliced=pUi))
+        Er = Dr * c(itc) - Di * c(its)
+        Ei = Dr * c(its) + Di * c(itc)
+        pEr = preslice("kj,ki->ji", Er, len(si2c[0]))
+        pEi = preslice("kj,ki->ji", Ei, len(si2c[0]))
+        z = (contract_sliced("kj,ki->ji", Er, *si2c, presliced=pEr)
+             - contract_sliced("kj,ki->ji", Ei, *si2s, presliced=pEi))
+        z = jnp.swapaxes(z, -1, -2).reshape(batch + (N2 * (N1 // 2),))
+        return z[..., :p]
     # stage 1 over k2 -> (..., k1, j2)
     m2 = lambda a, b: jnp.matmul(a, b, precision=hi)
     Dr = m2(Ur, c(i1c)) - m2(Ui, c(i1s))
