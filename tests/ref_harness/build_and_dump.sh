@@ -171,3 +171,12 @@ g++ -std=c++20 -O2 -mavx2 -mfma -msse4.1 -I"$HERE/stub_include" \
     -o /tmp/dump_eqf
 /tmp/dump_eqf > "$OUT/eq_full.json"
 echo "wrote $OUT/eq_full.json"
+
+# IRDSP resampler: the vendored r8brain (MIT, header-only with Ooura FFT)
+# driven through src/IRDSP.cpp's exact chunk/flush/trim loop.  Our
+# resampler is an independent design, so the test bounds in-band
+# equivalence at the 140 dB spec floor, not bit equality.
+g++ -std=c++20 -O2 -I"$REF/r8brain-free-src" \
+    "$HERE/dump_resampler.cpp" -o /tmp/dump_resampler
+/tmp/dump_resampler > "$OUT/resampler.json"
+echo "wrote $OUT/resampler.json"
