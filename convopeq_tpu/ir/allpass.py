@@ -166,25 +166,90 @@ def design_cmaes(sample_rate, freq_hz, target_gd, cfg: DesignerConfig):
     return sections, best_f
 
 
-def design_adagrad(sample_rate, freq_hz, target_gd, cfg: DesignerConfig,
-                   x0=None):
-    """AdaGrad refinement on the same cost (numeric gradient) — the
-    stand-in for the reference's Greedy+AdaGrad fallback path."""
-    d = 2 * cfg.num_sections
-    cost = _make_cost(freq_hz, target_gd, sample_rate, cfg.num_sections)
-    x = np.array(x0) if x0 is not None else _initial_mean(cfg, sample_rate)
-    g2 = np.zeros(d)
-    h = 1e-5
-    for _ in range(cfg.max_iterations):
-        grad = np.zeros(d)
-        c0 = cost(x)
-        for j in range(d):
-            xp = x.copy()
-            xp[j] += h
-            grad[j] = (cost(xp) - c0) / h
-        g2 += grad * grad
-        x = x - cfg.learning_rate * grad / (np.sqrt(g2) + 1e-10)
-    sections = [SecondOrderAllpass(float(unconstrained_to_rho(x[2 * i])),
-                                   float(unconstrained_to_theta(x[2 * i + 1])))
-                for i in range(cfg.num_sections)]
-    return sections, cost(x)
+def _section_gd_f0_gain(f0, gain, omega, sample_rate):
+    """sectionGroupDelay (f0, gain) form (AllpassDesigner.cpp:228-232):
+    rho = clamp(|gain|, 0, 0.995), theta = 2 pi f0 / fs."""
+    rho = min(abs(gain), 0.995)
+    theta = 2.0 * np.pi * f0 / sample_rate
+    rho2 = rho * rho
+    num = 1.0 - rho2
+    d1 = 1.0 - 2.0 * rho * np.cos(omega - theta) + rho2
+    d2 = 1.0 - 2.0 * rho * np.cos(omega + theta) + rho2
+    eps = 1e-12 * (1.0 + rho2)
+    return (np.where(d1 > eps, num / d1, 0.0)
+            + np.where(d2 > eps, num / d2, 0.0))
+
+
+def _freq_candidates(sample_rate):
+    """buildFrequencyCandidates: 18 log-spaced 20 Hz .. min(20k, 0.499 fs)
+    (AllpassDesigner.cpp:29-58)."""
+    hi = max(20.0, min(20000.0, 0.499 * sample_rate))
+    if hi <= 20.0:
+        return np.array([20.0])
+    t = np.arange(18) / 17.0
+    return np.exp(np.log(20.0) + (np.log(hi) - np.log(20.0)) * t)
+
+
+def _clamp_freq(sample_rate, f0):
+    hi = max(20.0, min(20000.0, 0.499 * sample_rate))
+    return float(np.clip(f0, 20.0, hi))
+
+
+def design_greedy_adagrad(sample_rate, freq_hz, target_gd,
+                          cfg: DesignerConfig):
+    """The reference's deterministic Greedy+AdaGrad design path, exact
+    (AllpassDesigner.cpp:465-590; pinned against the compiled reference
+    binary by test_ref_vectors.py):
+
+    per section: 2D grid search over 18 log-spaced f0 candidates x
+    gains {.1,.3,.5,.7,.9,.95,.98} on the unweighted squared GD residual,
+    then central-difference AdaGrad refinement of (f0, gain) with
+    relative steps and early stop on non-improvement; the section's GD
+    is subtracted from the residual.  Returns (sections, sq_cost).
+    """
+    omega = 2.0 * np.pi * np.asarray(freq_hz, float) / sample_rate
+    residual = np.asarray(target_gd, float).copy()
+    gain_candidates = np.array([0.1, 0.3, 0.5, 0.7, 0.9, 0.95, 0.98])
+    f0_candidates = _freq_candidates(sample_rate)
+    sections = []
+
+    def err(f0, gain):
+        d = _section_gd_f0_gain(f0, gain, omega, sample_rate) - residual
+        return float(np.sum(d * d))
+
+    for _sec in range(cfg.num_sections):
+        # gridSearch2D (cpp:525-548)
+        best_err, f0, gain = np.inf, 1000.0, 0.5
+        for fc in f0_candidates:
+            for gc in gain_candidates:
+                e = err(fc, gc)
+                if e < best_err:
+                    best_err, f0, gain = e, float(fc), float(gc)
+        # adaptiveGradientDescent (cpp:551-590)
+        g2_f0, g2_gain, prev = 0.0, 0.0, np.inf
+        for _it in range(cfg.max_iterations):
+            e = err(f0, gain)
+            if e >= prev:
+                break
+            prev = e
+            eps_f0 = max(1.0e-3, abs(f0) * 1.0e-4)
+            eps_g = float(np.clip(max(1.0e-6, abs(gain) * 1.0e-4),
+                                  1.0e-6, 5.0e-3))
+            gf = (err(f0 + eps_f0, gain) - err(f0 - eps_f0, gain)) \
+                / (2.0 * eps_f0)
+            gg = (err(f0, gain + eps_g) - err(f0, gain - eps_g)) \
+                / (2.0 * eps_g)
+            g2_f0 += gf * gf
+            g2_gain += gg * gg
+            f0 -= cfg.learning_rate * gf / (np.sqrt(g2_f0) + 1e-8)
+            gain -= cfg.learning_rate * gg / (np.sqrt(g2_gain) + 1e-8)
+            f0 = _clamp_freq(sample_rate, f0)
+            gain = float(np.clip(gain, 0.0, 0.995))
+
+        rho = min(abs(gain), 0.995)
+        theta = 2.0 * np.pi * f0 / sample_rate
+        sections.append(SecondOrderAllpass(rho, theta))
+        residual -= np.asarray(
+            sections_group_delay([rho], [theta], omega))
+
+    return sections, float(np.sum(residual * residual))

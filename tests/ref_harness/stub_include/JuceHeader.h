@@ -82,6 +82,9 @@ struct MessageManager {
         static MessageManager m;
         return &m;
     }
+    // nullptr: harness has no message thread — async progress callbacks
+    // (AllpassDesigner.cpp:404,511) are simply skipped
+    static MessageManager* getInstanceWithoutCreating() { return nullptr; }
     bool isThisTheMessageThread() const noexcept { return true; }
     template <typename Fn> static bool callAsync(Fn&&) { return true; }
 };
@@ -139,12 +142,48 @@ public:
     const ValueTree* end() const { return nullptr; }
 };
 
+struct Time {
+    long long ms = 0;
+    long long toMilliseconds() const { return ms; }
+};
+
+// Inert stream stub: AllpassDesigner::computeIRHash compiles against it
+// but the harness never calls it (createInputStream returns nullptr and
+// the hash path is unused).
+struct Result {
+    bool failed() const { return true; }
+};
+
+class FileInputStream {
+public:
+    bool openedOk() const { return false; }
+    long long getTotalLength() const { return 0; }
+    int read(void*, int) { return 0; }
+    bool isExhausted() const { return true; }
+    Result getStatus() const { return {}; }
+};
+
+template <typename T>
+class HeapBlock {
+public:
+    void malloc(size_t n) { data_.resize(n); }
+    T* getData() { return data_.data(); }
+    const T* getData() const { return data_.data(); }
+private:
+    std::vector<T> data_;
+};
+
+using int64 = long long;
+
 class File {
 public:
     File() = default;
     bool existsAsFile() const { return false; }
     String loadFileAsString() const { return {}; }
     String getFullPathName() const { return {}; }
+    long long getSize() const { return 0; }
+    Time getLastModificationTime() const { return {}; }
+    FileInputStream* createInputStream() const { return nullptr; }
     template <typename T> void readLines(T&) const {}
 };
 
@@ -327,3 +366,7 @@ public:
 };
 
 }  // namespace juce
+
+// JUCE exports its integer aliases at global scope via juce_core; the
+// reference uses unqualified `int64` inside its own namespaces.
+using int64 = long long;

@@ -862,3 +862,84 @@ def test_resampler_matches_r8brain_binary():
         rel = (np.sqrt(np.mean((y[:n] - yref) ** 2))
                / np.sqrt(np.mean(yref ** 2)))
         assert rel < 5e-7, (c["in_sr"], c["out_sr"], rel)
+
+
+def test_allpass_formulas_match_reference_binary():
+    """SecondOrderAllpass::response + sectionGroupDelayRhoTheta
+    (AllpassDesigner.h:25-47, .cpp:213-223) compiled unmodified
+    (dump_allpass.cpp) vs ir/allpass.py — pure formulas at roundoff."""
+    from convopeq_tpu.ir.allpass import (SecondOrderAllpass,
+                                         sections_group_delay)
+
+    d = _load("allpass.json")["formula"]
+    rho = np.asarray(d["rho"])
+    th = np.asarray(d["theta"])
+    om = np.asarray(d["omega"])
+    gd = np.array([sections_group_delay([r], [t], [o])[0]
+                   for r, t, o in zip(rho, th, om)])
+    np.testing.assert_allclose(gd, d["gd"], rtol=0, atol=1e-12)
+    h = np.array([SecondOrderAllpass(r, t).response(np.array([o]))[0]
+                  for r, t, o in zip(rho, th, om)])
+    np.testing.assert_allclose(h.real, d["h_re"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(h.imag, d["h_im"], rtol=0, atol=1e-12)
+
+
+def test_allpass_compute_response_matches_reference_binary():
+    from convopeq_tpu.ir.allpass import SecondOrderAllpass, compute_response
+
+    d = _load("allpass.json")["compute_response"]
+    secs = [SecondOrderAllpass(r, t)
+            for r, t in zip([0.2, 0.5, 0.8, 0.92, 0.97, 0.4],
+                            [0.05, 0.3, 0.9, 1.7, 2.6, 3.0])]
+    h = compute_response(secs, 48000.0, d["freq_hz"])
+    np.testing.assert_allclose(h.real, d["h_re"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(h.imag, d["h_im"], rtol=0, atol=1e-12)
+
+
+def test_allpass_greedy_design_matches_reference_binary():
+    """The deterministic Greedy+AdaGrad design path
+    (AllpassDesigner.cpp:465-590): designed (rho, theta) sections from
+    the compiled reference vs design_greedy_adagrad on three target GD
+    curves.  Agreement is f64 reassociation only (<=2e-8 on rho after
+    50 finite-difference AdaGrad steps)."""
+    from convopeq_tpu.ir.allpass import DesignerConfig, design_greedy_adagrad
+
+    d = _load("allpass.json")
+    for g in d["greedy"]:
+        assert g["ok"] == 1
+        cfg = DesignerConfig(num_sections=g["num_sections"])
+        secs, cost = design_greedy_adagrad(
+            48000.0, g["freq_hz"], g["target_gd"], cfg)
+        rho = np.array([s.rho for s in secs])
+        theta = np.array([s.theta for s in secs])
+        np.testing.assert_allclose(rho, g["rho"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(theta, g["theta"], rtol=0, atol=1e-9)
+        assert abs(cost - g["cost"]) <= 1e-6 * max(1.0, g["cost"])
+
+
+def test_allpass_cmaes_quality_vs_reference_binary():
+    """designWithCMAES runs the reference's seeded std::mt19937 stream —
+    bit parity is meaningless across RNGs, so the transferable claim is
+    QUALITY: on the dumped target our CMA-ES designer must reach a
+    squared GD error within 1.3x of the reference's achieved cost
+    (measured 73k vs 64k), and our greedy path beats both (~18k)."""
+    from convopeq_tpu.ir.allpass import (DesignerConfig, design_cmaes,
+                                         design_greedy_adagrad,
+                                         sections_group_delay)
+
+    c = _load("allpass.json")["cmaes"]
+    assert c["result"] == 0  # DesignResult::Success
+    freq = np.asarray(c["freq_hz"])
+    target = np.asarray(c["target_gd"])
+    om = 2.0 * np.pi * freq / 48000.0
+
+    def sqcost(secs):
+        tau = sections_group_delay([s.rho for s in secs],
+                                   [s.theta for s in secs], om)
+        return float(np.sum((tau - target) ** 2))
+
+    cfg = DesignerConfig(num_sections=8)
+    secs, _ = design_cmaes(48000.0, freq, target, cfg)
+    assert sqcost(secs) <= 1.3 * c["cost"]
+    gsecs, gcost = design_greedy_adagrad(48000.0, freq, target, cfg)
+    assert gcost <= c["cost"]
