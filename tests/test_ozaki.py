@@ -117,3 +117,27 @@ def test_gemm_fft_cpu_path_unaffected():
         jnp.asarray(ref.real), jnp.asarray(ref.imag))
     want = np.fft.irfft(ref, n=2 * p, axis=-1)[:, p:]
     assert np.abs(np.asarray(y) - want).max() / np.abs(want).max() < 1e-12
+
+
+def test_gemm_fft_ozaki_branch_matches_fft(monkeypatch):
+    """Force the TPU-only Ozaki branch on CPU (XLA:CPU's bf16 dot also
+    accumulates in f32) and check the full two-stage wiring — slicing,
+    cos/sin recombination, twiddles, transposes — against np.fft at the
+    slice-truncation floor.  This validates the exact graph the TPU dd
+    mode runs, minus only the MXU."""
+    from convopeq_tpu.ops import gemm_fft
+
+    monkeypatch.setattr(gemm_fft, "_ozaki_enabled", lambda dt: dt == jnp.float64)
+    rng = np.random.default_rng(11)
+    for p in (512, 2048):
+        x = rng.normal(size=(3, 2 * p)) * np.exp(rng.normal(size=(3, 2 * p)))
+        Xr, Xi = jax.jit(lambda v: gemm_fft.rfft_gemm(v, p))(jnp.asarray(x))
+        ref = np.fft.rfft(x, axis=-1)
+        sc = np.abs(ref).max()
+        assert np.abs(np.asarray(Xr) - ref.real).max() / sc < 5e-11
+        assert np.abs(np.asarray(Xi) - ref.imag).max() / sc < 5e-11
+        y = jax.jit(lambda a, b: gemm_fft.irfft_valid_gemm(a, b, p))(
+            jnp.asarray(ref.real), jnp.asarray(ref.imag))
+        want = np.fft.irfft(ref, n=2 * p, axis=-1)[:, p:]
+        rel = np.abs(np.asarray(y) - want).max() / np.abs(want).max()
+        assert rel < 5e-11, (p, rel)
