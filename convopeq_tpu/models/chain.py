@@ -47,18 +47,25 @@ from .output_filter import output_filter_process, HC_NATURAL, LC_NATURAL
 
 
 def resolve_oversampling_factor(requested: int, sample_rate: float) -> int:
-    """OversamplingPolicy::resolve (src/audioengine/OversamplingPolicy.h:28-57):
-    cap so the internal rate stays <= 768 kHz; power-of-two result."""
+    """OversamplingPolicy::resolve (src/audioengine/OversamplingPolicy.h:51-86),
+    pinned against the compiled reference (engine_math.json): the max
+    factor caps the internal rate at 768 kHz; requested == 0 (Auto) or
+    any value outside {1,2,4,8} resolves to the MAX allowed factor; a
+    valid request above the cap falls back to the cap; > 768 kHz input
+    is unsupported and resolves to 1."""
     if sample_rate <= 96000.0:
         cap = 8
     elif sample_rate <= 192000.0:
         cap = 4
     elif sample_rate <= 384000.0:
         cap = 2
-    else:
+    elif sample_rate <= 768000.0:
         cap = 1
-    r = 8 if requested >= 8 else 4 if requested >= 4 else 2 if requested >= 2 else 1
-    return min(r, cap)
+    else:
+        return 1  # supported == false
+    if requested not in (1, 2, 4, 8):
+        return cap  # Auto / invalid-value fallback
+    return requested if requested <= cap else cap
 
 
 @dataclass
@@ -96,7 +103,7 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
     # 1. input stage: sanitize/limit (InputBitDepthTransform.h:32-100 —
     # NaN -> 0, |x| < 1e-20 denormal flush, clamp +-1.0) then headroom +
     # DC blockers
-    x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+    x = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= 1e-20), x, 0.0)  # Inf survives to the clamp (ref: +-1), pinned by engine_math.json
     x = jnp.clip(x, -1.0, 1.0)
     if cfg.input_headroom_gain != 1.0:
         x = x * cfg.input_headroom_gain
@@ -320,7 +327,7 @@ def process_chain_fused(x, cfg: ChainConfig, conv_state, prefilter=None):
     with `prepare_folded_convolver`, which bakes it into the IR."""
     from ..ops.partitioned_conv import uniform_partitioned_conv
     x = jnp.asarray(x)
-    x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+    x = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= 1e-20), x, 0.0)  # Inf survives to the clamp (ref: +-1), pinned by engine_math.json
     x = jnp.clip(x, -1.0, 1.0)
     pre = cfg.input_headroom_gain * cfg.convolver_input_trim_gain
     if pre != 1.0:

@@ -59,6 +59,52 @@ def classify_transition(old, new) -> tuple:
     return tuple(triggers)
 
 
+@dataclass
+class LinearRamp:
+    """The reference's LinearRamp (DspNumericPolicy.h:319+, its
+    juce::SmoothedValue<double>-equivalent), exact — pinned against the
+    compiled reference by test_ref_vectors.py.  Semantics: reset() fixes
+    the total step count; setTargetValue() mid-ramp reuses the REMAINING
+    steps as denominator; getNextValue() advances before returning and
+    snaps to the target on the final step."""
+    current: float = 0.0
+    target: float = 0.0
+    step: float = 0.0
+    remaining: int = 0
+    total_steps: int = 1
+
+    def reset(self, sample_rate: float, time_sec: float):
+        steps = int(sample_rate * time_sec + 0.5)
+        self.total_steps = steps if steps > 0 else 1
+
+    def set_current_and_target(self, v: float):
+        self.current = self.target = v
+        self.step = 0.0
+        self.remaining = 0
+
+    def set_target(self, v: float):
+        if v == self.target:
+            return
+        self.target = v
+        steps = self.remaining if self.remaining > 0 else self.total_steps
+        self.step = (self.target - self.current) / steps
+        self.remaining = steps
+
+    def next_value(self) -> float:
+        if self.remaining <= 0:
+            return self.current
+        self.remaining -= 1
+        if self.remaining == 0:
+            self.current = self.target
+        else:
+            self.current += self.step
+        return self.current
+
+    @property
+    def is_smoothing(self) -> bool:
+        return self.remaining > 0
+
+
 def fade_time_for(triggers) -> float:
     """The effective fade time is the longest of the triggered classes."""
     if not triggers:
@@ -83,7 +129,11 @@ def crossfade_mix(old_y, new_y, sample_rate: float, fade_time_sec: float,
     if new_latency_offset > 0:
         new_y = jnp.pad(new_y, [(0, 0)] * (new_y.ndim - 1)
                         + [(new_latency_offset, 0)])[..., :n]
-    g = jnp.clip((jnp.arange(n) + start_sample) / fade_samples, 0.0, 1.0)
+    # LinearRamp convention (DspNumericPolicy.h:319+, pinned by
+    # engine_math.json): getNextValue() advances BEFORE returning, so the
+    # first mixed sample carries gain 1/fade_samples and the ramp reaches
+    # exactly 1.0 on its final step.
+    g = jnp.clip((jnp.arange(n) + start_sample + 1) / fade_samples, 0.0, 1.0)
     g = g.astype(old_y.dtype)
     return old_y * (1.0 - g) + new_y * g
 

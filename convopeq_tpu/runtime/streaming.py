@@ -494,7 +494,7 @@ class StreamingChain:
 
         def step(state: StreamState, block, conv_args):
             x = jnp.asarray(block, self.dtype)
-            x = jnp.where(jnp.isfinite(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+            x = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= 1e-20), x, 0.0)  # Inf survives to the clamp (ref: +-1), pinned by engine_math.json
             x = jnp.clip(x, -1.0, 1.0)
             if cfg.input_headroom_gain != 1.0:
                 x = x * cfg.input_headroom_gain

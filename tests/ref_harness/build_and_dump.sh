@@ -191,3 +191,17 @@ g++ -std=c++20 -O2 -I"$HERE/stub_include" -I"$REF/src" \
     "$REF/src/CmaEsOptimizerDynamic.cpp" -o /tmp/dump_allpass
 /tmp/dump_allpass > "$OUT/allpass.json"
 echo "wrote $OUT/allpass.json"
+
+# Engine math: input sanitize, oversampling policy, LinearRamp,
+# equalPowerSin (extracted verbatim from the convolver runtime TU).
+awk '
+  /inline double equalPowerSin\(double x\) noexcept/ {p=1}
+  p {print}
+  p && /^    }/ {p=0}
+' "$REF/src/convolver/ConvolverProcessor.Runtime.cpp" > /tmp/equal_power_extract.inc
+g++ -std=c++20 -O2 -mavx2 -mfma -I"$HERE/stub_include" -I"$REF/src" \
+    -include array -D'jassert(x)=((void)0)' -D'jassertfalse=((void)0)' \
+    -D'DBG(x)=((void)0)' \
+    "$HERE/dump_engine_math.cpp" -o /tmp/dump_em
+/tmp/dump_em > "$OUT/engine_math.json"
+echo "wrote $OUT/engine_math.json"

@@ -251,7 +251,12 @@ def test_resolve_oversampling_policy():
     assert resolve_oversampling_factor(8, 192000.0) == 4
     assert resolve_oversampling_factor(8, 384000.0) == 2
     assert resolve_oversampling_factor(8, 768000.0) == 1
-    assert resolve_oversampling_factor(3, 48000.0) == 2
+    # invalid values and 0 are Auto -> max allowed factor
+    # (OversamplingPolicy.h:73-77, pinned by engine_math.json)
+    assert resolve_oversampling_factor(3, 48000.0) == 8
+    assert resolve_oversampling_factor(0, 48000.0) == 8
+    assert resolve_oversampling_factor(0, 192000.0) == 4
+    assert resolve_oversampling_factor(2, 800000.0) == 1
 
 
 def test_chain_end_to_end_smoke():

@@ -61,7 +61,7 @@ def test_streaming_crossfade_on_config_change():
 
     fade_n = int(round(FADE_TIMES_SEC["nuc_filter"] * SR))
     n2 = y2.shape[-1]
-    g = np.minimum(np.arange(n2) / fade_n, 1.0)
+    g = np.minimum((np.arange(n2) + 1) / fade_n, 1.0)
     expected = y_old * (1.0 - g) + y_new * g
     np.testing.assert_allclose(y2, expected, atol=1e-12)
 
@@ -109,7 +109,7 @@ def test_offline_process_crossfade():
     y_b = np.asarray(eng_b.process(jnp.asarray(x)))
 
     fade_n = int(round(FADE_TIMES_SEC["nuc_filter"] * SR))
-    g = np.minimum(np.arange(fade_n) / fade_n, 1.0)
+    g = np.minimum((np.arange(fade_n) + 1) / fade_n, 1.0)
     expected = y_a[..., :fade_n] * (1.0 - g) + y_b[..., :fade_n] * g
     np.testing.assert_allclose(y_mix[..., :fade_n], expected, atol=1e-12)
     np.testing.assert_allclose(y_mix[..., fade_n:], y_b[..., fade_n:],

@@ -943,3 +943,69 @@ def test_allpass_cmaes_quality_vs_reference_binary():
     assert sqcost(secs) <= 1.3 * c["cost"]
     gsecs, gcost = design_greedy_adagrad(48000.0, freq, target, cfg)
     assert gcost <= c["cost"]
+
+
+def test_input_sanitize_matches_reference_binary():
+    """input_transform::sanitizeAndLimit (InputBitDepthTransform.h:32-100)
+    compiled with AVX2 (dump_engine_math.cpp) vs the chain input stage:
+    NaN -> 0, |x| < 1e-20 -> 0, and +-Inf survives to the clamp (+-1.0) —
+    the Inf behavior was a real divergence this dump exposed."""
+    import jax.numpy as jnp
+
+    d = _load("engine_math.json")["sanitize"]
+    x = jnp.asarray(np.asarray(d["input"]))
+    thr = d["threshold"]
+    y = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= thr), x, 0.0)
+    y = jnp.clip(y, -1.0, 1.0)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(d["output"]))
+
+
+def test_oversampling_policy_matches_reference_binary():
+    """OversamplingPolicy::resolve grid (sr x requested, incl. Auto=0,
+    invalid values, >768k unsupported) — exposed + fixed: Auto and
+    invalid requests resolve to the MAX allowed factor, not 1x."""
+    from convopeq_tpu.models.chain import resolve_oversampling_factor
+
+    d = _load("engine_math.json")["os_policy"]
+    for sr, rq, res in zip(d["sr"], d["requested"], d["resolved"]):
+        assert resolve_oversampling_factor(rq, sr) == res, (sr, rq, res)
+
+
+def test_linear_ramp_matches_reference_binary():
+    """LinearRamp (DspNumericPolicy.h:319+): plain fade, mid-ramp
+    retarget (remaining-steps denominator), idle retarget + equal-target
+    no-op — exact sequence equality."""
+    from convopeq_tpu.runtime.crossfade import LinearRamp
+
+    for sc in _load("engine_math.json")["linear_ramp"]:
+        r = LinearRamp(current=sc["from"], target=sc["from"])
+        r.reset(sc["sr"], sc["time"])
+        seq = []
+        if sc["kind"] == "plain":
+            r.set_target(sc["to"])
+            seq = [r.next_value() for _ in range(60)]
+        elif sc["kind"] == "retarget":
+            r.set_target(sc["to"])
+            seq = [r.next_value() for _ in range(sc["retarget_at"])]
+            r.set_target(sc["to2"])
+            seq += [r.next_value() for _ in range(40)]
+        else:  # idle_retarget
+            r.set_target(sc["to"])
+            seq = [r.next_value() for _ in range(12)]
+            r.set_target(sc["to"])     # equal target: no-op
+            seq.append(r.next_value())
+            r.set_target(sc["to2"])
+            seq += [r.next_value() for _ in range(12)]
+        np.testing.assert_array_equal(np.asarray(seq), np.asarray(sc["seq"]))
+
+
+def test_equal_power_sin_matches_reference_binary():
+    """equalPowerSin (ConvolverProcessor.Runtime.cpp:26-31, extracted
+    verbatim at dump time): 9th-order Taylor sine for the equal-power
+    wet/dry mix, exact."""
+    from convopeq_tpu.utils.dsputil import equal_power_sin
+
+    d = _load("engine_math.json")["equal_power_sin"]
+    ours = np.array([float(equal_power_sin(x)) for x in d["x"]])
+    # 1 ULP: the dump binary contracts the Horner chain with FMA (-mfma)
+    np.testing.assert_allclose(ours, d["y"], rtol=0, atol=5e-16)
