@@ -247,6 +247,8 @@ class ConvoPeqEngine:
         self.policy = RuntimePolicyEngine()
         self._xrun: XrunDetector | None = None
         self._published = None           # last processed offline chain
+        self._pending_mix_ramp = None    # old mix value awaiting smoothing
+        self.mix_smoothing_time_sec = 0.1  # SMOOTHING_TIME_DEFAULT_SEC
         self._streaming = None
         self._streaming_key = None
         self._streaming_snapshot = None
@@ -371,7 +373,22 @@ class ConvoPeqEngine:
         return self
 
     def set_wet_dry_mix(self, mix: float):
-        self.config = replace(self.config, wet_dry_mix=float(mix))
+        """Change the wet/dry mix.  The next process() call smooths the
+        change per-sample over mix_smoothing_time_sec through the
+        equal-power curve — the reference's mixSmoother
+        (ConvolverProcessor.Runtime.cpp:601-603, LinearRamp over
+        smoothingTimeSec default 0.1 s)."""
+        old = self.config.wet_dry_mix
+        mix = float(mix)
+        if mix != old:
+            self._pending_mix_ramp = old
+        self.config = replace(self.config, wet_dry_mix=mix)
+        return self
+
+    def set_mix_smoothing_time(self, seconds: float):
+        """smoothingTimeSec, clamped to the reference's [0.01, 0.5] s
+        (ConvolverProcessor.h:167-169)."""
+        self.mix_smoothing_time_sec = float(np.clip(seconds, 0.01, 0.5))
         return self
 
     def set_bypass(self, eq: bool | None = None, conv: bool | None = None):
@@ -498,20 +515,59 @@ class ConvoPeqEngine:
         cfg = self._effective_config()
         cache_key = self._chain_key()
         snap = self._transition_snapshot()
-        fn = self._chain_cache.get(cache_key)
+        mix_key = repr(replace(self.config, wet_dry_mix=-1.0))
+
+        # wet/dry mix smoothing (ConvolverProcessor.Runtime.cpp:601-603):
+        # a pending mix change is ramped per-sample at the processing rate
+        # through the equal-power curve instead of hard-switching.
+        conv_active = self._conv_state is not None and not cfg.conv_bypassed
+        mix_ramp = None
+        if self._pending_mix_ramp is not None:
+            if conv_active:
+                os_f = resolve_oversampling_factor(
+                    cfg.oversampling_factor, self.sample_rate)
+                proc_rate = self.sample_rate * os_f
+                n_proc = x.shape[-1] * os_f
+                steps = max(1, int(proc_rate
+                                   * self.mix_smoothing_time_sec + 0.5))
+                old_m = float(self._pending_mix_ramp)
+                new_m = float(cfg.wet_dry_mix)
+                k = np.arange(n_proc) + 1.0       # LinearRamp: advance first
+                ramp = np.where(k >= steps, new_m,
+                                old_m + (new_m - old_m) / steps * k)
+                mix_ramp = jnp.asarray(ramp, self.dtype)
+            self._pending_mix_ramp = None
+
+        trace_key = (cache_key, "mixramp") if mix_ramp is not None \
+            else cache_key
+        fn = self._chain_cache.get(trace_key)
         if fn is None:
             eqp = self.eq_params
-            conv_none = self._conv_state is None
-            if conv_none:
+            if self._conv_state is None:
                 fn = jax.jit(lambda v: process_chain(v, cfg, eqp, None))
+            elif mix_ramp is not None:
+                fn = jax.jit(lambda v, c, m: process_chain(
+                    v, cfg, eqp, c, mix_ramp=m))
             else:
                 fn = jax.jit(lambda v, c: process_chain(v, cfg, eqp, c))
-            self._chain_cache.put(cache_key, fn)
+            self._chain_cache.put(trace_key, fn)
         with StageTimer(self.telemetry, "process"):
-            y = fn(x) if self._conv_state is None else fn(x, self._conv_state)
+            if self._conv_state is None:
+                y = fn(x)
+            elif mix_ramp is not None:
+                y = fn(x, self._conv_state, mix_ramp)
+            else:
+                y = fn(x, self._conv_state)
 
         prev = self._published
         if (self.crossfade_enabled and prev is not None
+                and prev["key"] != cache_key
+                and mix_ramp is not None
+                and prev.get("mix_key") == mix_key):
+            # pure mix change: the per-sample smoother IS the transition —
+            # a "default" crossfade on top would double-fade
+            pass
+        elif (self.crossfade_enabled and prev is not None
                 and prev["key"] != cache_key):
             triggers = classify_transition(prev["snapshot"], snap) \
                 or ("default",)
@@ -533,8 +589,22 @@ class ConvoPeqEngine:
                 y = jnp.concatenate([mixed, y[..., fade_n:]], axis=-1)
                 self.telemetry.push("crossfade", triggers=list(triggers),
                                     fade_ms=ft * 1e3, path="offline")
-        self._published = {"key": cache_key, "fn": fn,
+        # published fn must be the PLAIN trace (a later crossfade calls it
+        # as the old chain without a ramp argument); jit is lazy so the
+        # lambda costs nothing unless a crossfade actually runs it.
+        pub_fn = fn
+        if mix_ramp is not None:
+            pub_fn = self._chain_cache.get(cache_key)
+            if pub_fn is None:
+                eqp = self.eq_params
+                if self._conv_state is None:
+                    pub_fn = jax.jit(lambda v: process_chain(v, cfg, eqp, None))
+                else:
+                    pub_fn = jax.jit(lambda v, c: process_chain(v, cfg, eqp, c))
+                self._chain_cache.put(cache_key, pub_fn)
+        self._published = {"key": cache_key, "fn": pub_fn,
                            "conv": self._conv_state, "snapshot": snap,
+                           "mix_key": mix_key,
                            "margin": self._forward_horizon()}
 
         if self.dither_bit_depth > 0:

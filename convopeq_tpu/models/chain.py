@@ -93,8 +93,14 @@ class ChainConfig:
 
 
 def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
-                  conv_state: StereoConvolverState | None = None):
-    """Run the full chain on x: (..., 2, N) float, time on last axis."""
+                  conv_state: StereoConvolverState | None = None,
+                  mix_ramp=None):
+    """Run the full chain on x: (..., 2, N) float, time on last axis.
+
+    mix_ramp: optional per-sample wet/dry mix (N * os_factor,) at the
+    processing rate — overrides cfg.wet_dry_mix for glitch-free mix
+    transitions (the reference's mixSmoother, passed as a traced arg so
+    one compilation serves every ramp)."""
     x = jnp.asarray(x)
     sr = cfg.sample_rate
     os_factor = resolve_oversampling_factor(cfg.oversampling_factor, sr)
@@ -132,7 +138,7 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
 
     if cfg.order == CONVOLVER_THEN_EQ:
         if conv_active:
-            x = convolver_process(x, conv_state, cfg.wet_dry_mix)
+            x = convolver_process(x, conv_state, cfg.wet_dry_mix, mix_ramp)
         if eq_active:
             x = run_eq(x)
     else:
@@ -141,7 +147,7 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
         if conv_active:
             if abs(cfg.convolver_input_trim_gain - 1.0) > 1e-12:
                 x = x * cfg.convolver_input_trim_gain
-            x = convolver_process(x, conv_state, cfg.wet_dry_mix)
+            x = convolver_process(x, conv_state, cfg.wet_dry_mix, mix_ramp)
 
     # 4. output filter
     if conv_active or eq_active:

@@ -62,12 +62,34 @@ def stereo_prepare(ir_stereo, block_size: int, spec: FilterSpec | None = None,
     return StereoConvolverState(left=mk(0), right=mk(1))
 
 
-def convolver_process(x, state: StereoConvolverState, mix: float = 1.0):
-    """Process (..., 2, N) through the stereo convolver with wet/dry mix."""
+def _equal_power_sin_traced(m):
+    """equalPowerSin on a traced array (the per-sample smoothing path,
+    ConvolverProcessor.Runtime.cpp:601-603: wg[i]=eps(mix_i)*headroom,
+    dg[i]=eps(1-mix_i) with mix_i from the LinearRamp)."""
+    t = m * (np.pi * 0.5)
+    t2 = t * t
+    return t * (1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0
+                + t2 * (-1.0 / 5040.0 + t2 * (1.0 / 362880.0)))))
+
+
+def convolver_process(x, state: StereoConvolverState, mix: float = 1.0,
+                      mix_ramp=None):
+    """Process (..., 2, N) through the stereo convolver with wet/dry mix.
+
+    mix_ramp: optional per-sample mix values (N,) at the processing rate
+    — the reference's mixSmoother path (a LinearRamp over
+    smoothingTimeSec, default 0.1 s, evaluated through equalPowerSin per
+    sample).  When given it overrides the scalar `mix`.
+    """
     x = jnp.asarray(x)
     wet_l = nuc_convolve(x[..., 0, :], state.left)
     wet_r = nuc_convolve(x[..., 1, :], state.right)
     wet = jnp.stack([wet_l, wet_r], axis=-2)
+    if mix_ramp is not None:
+        m = jnp.asarray(mix_ramp, x.dtype)
+        wet_g = _equal_power_sin_traced(m) * CONVOLUTION_HEADROOM_GAIN
+        dry_g = _equal_power_sin_traced(1.0 - m)
+        return wet * wet_g + x * dry_g
     mix = float(mix)
     if mix >= 1.0:
         wet_g = float(equal_power_sin(1.0)) * CONVOLUTION_HEADROOM_GAIN

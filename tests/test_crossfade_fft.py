@@ -29,11 +29,14 @@ def test_crossfade_mix_ramp():
     old = np.ones((2, n))
     new = np.zeros((2, n))
     y = np.asarray(crossfade_mix(jnp.asarray(old), jnp.asarray(new), SR, 0.05))
-    # at t=0 full old; at fade end (2400) full new; halfway 0.5
-    assert abs(y[0, 0] - 1.0) < 1e-9
-    assert abs(y[0, 1200] - 0.5) < 1e-3
-    assert abs(y[0, 2400]) < 1e-9
-    assert np.all(y[:, 2400:] == 0.0)
+    # LinearRamp advances before returning (reference parity, pinned by
+    # tests/ref_harness dump_engine_math): sample 0 carries 1/fade_samples
+    # of new, the ramp hits exactly 1.0 on its final step (index 2399).
+    fade_n = 2400
+    assert abs(y[0, 0] - (1.0 - 1.0 / fade_n)) < 1e-9
+    assert abs(y[0, 1199] - 0.5) < 1e-9
+    assert abs(y[0, fade_n - 1]) < 1e-9
+    assert np.all(y[:, fade_n:] == 0.0)
 
 
 def test_crossfade_latency_alignment():

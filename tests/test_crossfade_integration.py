@@ -129,3 +129,86 @@ def test_xrun_and_health_tick():
     assert eng._xrun is not None and eng._xrun.steps == 4
     rep = eng.telemetry_report()
     assert rep["policy_level"] >= 0 and "xruns" in rep
+
+
+def test_convolver_mix_ramp_exact():
+    """convolver_process(mix_ramp=...) applies the reference's per-sample
+    equal-power gains (ConvolverProcessor.Runtime.cpp:601-603): with a
+    1-tap identity IR (spectrum filter off) the output is exactly
+    x * (eps(mix_i)*headroom + eps(1-mix_i))."""
+    from convopeq_tpu.models.convolver import (
+        CONVOLUTION_HEADROOM_GAIN, convolver_process, stereo_prepare)
+    from convopeq_tpu.models.nuc import FilterSpec
+    from convopeq_tpu.utils.dsputil import equal_power_sin
+
+    sr = 48000.0
+    n = 2048
+    ir = np.zeros(1024)
+    ir[0] = 1.0
+    st = stereo_prepare(jnp.asarray(np.stack([ir, ir])), 512,
+                        FilterSpec(sample_rate=sr),
+                        apply_spectrum_filter=False)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, n)) * 0.1
+    steps = int(sr * 0.01 + 0.5)
+    k = np.arange(n) + 1.0                       # LinearRamp: advance first
+    mix = np.where(k >= steps, 0.25, 1.0 + (0.25 - 1.0) / steps * k)
+    y = np.asarray(convolver_process(jnp.asarray(x), st, mix_ramp=mix))
+    eps = lambda m: np.asarray(equal_power_sin(m), float)
+    expected = x * (eps(mix) * CONVOLUTION_HEADROOM_GAIN + eps(1.0 - mix))
+    np.testing.assert_allclose(y, expected, atol=1e-12)
+
+
+def test_wet_dry_mix_change_is_smoothed_per_sample():
+    """Engine behavior on a wet/dry mix change (the reference's
+    mixSmoother): the transition must be glitch-free per-sample — NOT a
+    hard switch and NOT a 'default' crossfade — and converge to the
+    static new-mix output after the smoothing window."""
+    from convopeq_tpu.engine.engine import ConvoPeqEngine
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.nuc import FilterSpec
+
+    sr = 48000.0
+    n = 16384
+    eng = ConvoPeqEngine(sample_rate=sr)
+    eng.set_bypass(eq=True)
+    eng.auto_gain_enabled = False
+    ir = np.zeros(1024)
+    ir[0] = 1.0
+    eng._conv_state = stereo_prepare(
+        jnp.asarray(np.stack([ir, ir])), 512, FilterSpec(sample_rate=sr),
+        apply_spectrum_filter=False)
+    eng._ir_content_key = "identity-test"
+    eng.set_mix_smoothing_time(0.01)             # 480-sample window
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, n)) * 0.1
+
+    eng.set_wet_dry_mix(1.0)
+    eng.process(x)                               # publish the old chain
+    before = len(eng.telemetry.drain())
+
+    # static new-mix output for comparison (separate engine, no pending ramp)
+    eng2 = ConvoPeqEngine(sample_rate=sr)
+    eng2.set_bypass(eq=True)
+    eng2.auto_gain_enabled = False
+    eng2._conv_state = eng._conv_state
+    eng2._ir_content_key = "identity-test"
+    eng2.set_wet_dry_mix(0.25)
+    eng2._pending_mix_ramp = None        # truly static: no smoothing ramp
+    y_static = np.asarray(eng2.process(x))
+
+    eng.set_wet_dry_mix(0.25)
+    y = np.asarray(eng.process(x))
+
+    # converged tail == static new-mix output: after the 480-sample
+    # window the residual is the output filter's ~18 Hz pole (tau ~600
+    # samples) ringing out the transition difference — gone by ~12k
+    np.testing.assert_allclose(y[..., 12000:], y_static[..., 12000:],
+                               atol=3e-8)
+    # the head is NOT a hard switch: the first samples sit near the OLD
+    # gain trajectory, far from the static new-mix output
+    head_dev_static = np.abs(y[..., :64] - y_static[..., :64]).max()
+    assert head_dev_static > 1e-3
+    # no crossfade event was recorded for the pure mix change
+    evs = eng.telemetry.drain()
+    assert not [e for e in evs if e.category == "crossfade"]
