@@ -76,8 +76,8 @@ class StreamLayerState:
     TPU backend has no complex dynamic_update_slice / lax.cond, and the
     split form also feeds the Pallas fdl_mac kernel directly."""
     prev: jnp.ndarray       # (..., P) previous overlap-save frame
-    fdl_r: jnp.ndarray      # (..., numParts, P+1) real plane, newest first
-    fdl_i: jnp.ndarray      # (..., numParts, P+1) imag plane
+    fdl_r: jnp.ndarray      # (..., numParts, P+1) real plane, ring:
+    fdl_i: jnp.ndarray      #   slot (k mod numParts) holds frame k
     acc: jnp.ndarray        # (..., P) input accumulation buffer
     ring: jnp.ndarray       # (..., ring_len) aligned output ring (tail)
     step: jnp.ndarray       # () int32 block counter
@@ -116,6 +116,30 @@ def _fdl_mac_ri(fr, fi, Hr, Hi):
     return Yr, Yi
 
 
+def _fdl_ring_update_mac(fdl_r, fdl_i, Xr, Xi, Hr, Hi, k):
+    """Write frame-k spectrum into its FDL ring slot and run the MAC.
+
+    The FDL is a RING over partition slots — slot (k mod numParts) holds
+    frame k — not a newest-first shift register: shifting materializes a
+    full new (batch, numParts, bins) FDL copy every frame (the dominant
+    per-stream state, ~16 MB for a 1M-tap IR), while the ring write is a
+    one-slot dynamic_update_slice that XLA performs in place on donated
+    state.  The MAC compensates by gathering H rotated to the ring
+    phase: slot q holds frame k-((k-q) mod P), so its partition spectrum
+    is H[(k-q) mod P].  Unwritten warmup slots are zero, matching the
+    reference's silent FDL start.
+    """
+    num_parts = fdl_r.shape[-2]
+    w = jnp.mod(k, num_parts)
+    fr = jax.lax.dynamic_update_slice_in_dim(fdl_r, Xr[..., None, :], w,
+                                             axis=-2)
+    fi = jax.lax.dynamic_update_slice_in_dim(fdl_i, Xi[..., None, :], w,
+                                             axis=-2)
+    idx = jnp.mod(k - jnp.arange(num_parts), num_parts)
+    Yr, Yi = _fdl_mac_ri(fr, fi, Hr[..., idx, :], Hi[..., idx, :])
+    return fr, fi, Yr, Yi
+
+
 def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
     """Advance one NUC layer by one engine block and return its output.
 
@@ -136,11 +160,8 @@ def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
         # L0: immediate (processLayerBlock)
         osa = jnp.concatenate([state.prev, block], axis=-1)
         Xr, Xi = fft_split(osa)
-        fr = jnp.concatenate([Xr[..., None, :], state.fdl_r[..., :-1, :]],
-                             axis=-2)
-        fi = jnp.concatenate([Xi[..., None, :], state.fdl_i[..., :-1, :]],
-                             axis=-2)
-        Yr, Yi = _fdl_mac_ri(fr, fi, Hr, Hi)
+        fr, fi, Yr, Yi = _fdl_ring_update_mac(
+            state.fdl_r, state.fdl_i, Xr, Xi, Hr, Hi, state.step)
         y = irfft_half(Yr, Yi)
         return StreamLayerState(prev=block, fdl_r=fr, fdl_i=fi,
                                 acc=state.acc, ring=state.ring,
@@ -155,15 +176,12 @@ def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
     def fire(_):
         osa = jnp.concatenate([state.prev, acc], axis=-1)
         Xr, Xi = fft_split(osa)
-        fr = jnp.concatenate([Xr[..., None, :], state.fdl_r[..., :-1, :]],
-                             axis=-2)
-        fi = jnp.concatenate([Xi[..., None, :], state.fdl_i[..., :-1, :]],
-                             axis=-2)
-        Yr, Yi = _fdl_mac_ri(fr, fi, Hr, Hi)
-        y = irfft_half(Yr, Yi)
         # frame index k: this frame holds local samples [k*p, (k+1)*p);
         # aligned stream position = k*p + offset
         k = (state.step + 1) // ratio - 1
+        fr, fi, Yr, Yi = _fdl_ring_update_mac(
+            state.fdl_r, state.fdl_i, Xr, Xi, Hr, Hi, k)
+        y = irfft_half(Yr, Yi)
         pos = jnp.mod(k * p + lp.offset, ring_len)
         return acc, fr, fi, _ring_write(state.ring, y, pos)
 
