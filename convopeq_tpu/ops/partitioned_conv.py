@@ -325,14 +325,23 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             # MAC stays on the depthwise conv (few frames).
             frame_mac = "gemmfft"
     if frame_mac == "pallas":
+        import os
         from .pallas_gemm_fft import (rfft_two_stage_pallas,
                                       irfft_valid_two_stage_pallas,
+                                      causal_mac_grid_pallas,
                                       spectra_to_grid)
         Xr, Xi = rfft_two_stage_pallas(osa, p)
         Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
-        Y = _causal_frame_mac(jax.lax.complex(Xr, Xi),
-                              jax.lax.complex(Gr, Gi))
-        y = irfft_valid_two_stage_pallas(jnp.real(Y), jnp.imag(Y), p)
+        if os.environ.get("CONVOPEQ_PALLAS_MAC", "1") != "0":
+            # VMEM-ring MAC kernel: one HBM read of X + one Y write and
+            # no complex materialization (the grouped-conv form costs two
+            # extra full passes just building complex X/H)
+            Yr, Yi = causal_mac_grid_pallas(Xr, Xi, Gr, Gi, p)
+        else:
+            Y = _causal_frame_mac(jax.lax.complex(Xr, Xi),
+                                  jax.lax.complex(Gr, Gi))
+            Yr, Yi = jnp.real(Y), jnp.imag(Y)
+        y = irfft_valid_two_stage_pallas(Yr, Yi, p)
     elif frame_mac == "rdft":
         Xr, Xi = _rfft_matmul(osa, p)
         Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))

@@ -97,6 +97,37 @@ def test_two_stage_pallas_fft_matches_numpy():
                 pg.PALLAS_DOT_MODE = old
 
 
+def test_causal_mac_grid_pallas_matches_reference():
+    """The VMEM-ring frame MAC kernel (interpret mode) equals the direct
+    causal reduction Y[f] = sum_j X[f-j] H[j] on the stage grid, across
+    warmup (f < P), ring wrap (K > P), and multi-channel batches."""
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(11)
+    p = 512
+    _N1, _K2, g = pg.grid_bins(p)
+    for batch, K, P in (((2,), 11, 4), ((2, 2), 16, 7), ((1,), 5, 9)):
+        Xr = rng.normal(size=batch + (K, g)).astype(np.float32)
+        Xi = rng.normal(size=batch + (K, g)).astype(np.float32)
+        Hr = rng.normal(size=(P, g)).astype(np.float32)
+        Hi = rng.normal(size=(P, g)).astype(np.float32)
+        Yr, Yi = pg.causal_mac_grid_pallas(
+            jnp.asarray(Xr), jnp.asarray(Xi), jnp.asarray(Hr),
+            jnp.asarray(Hi), p, interpret=True)
+        X = Xr + 1j * Xi
+        H = Hr + 1j * Hi
+        ref = np.zeros(batch + (K, g), np.complex64)
+        for f in range(K):
+            for j in range(min(P, f + 1)):
+                ref[..., f, :] += X[..., f - j, :] * H[j]
+        np.testing.assert_allclose(np.asarray(Yr), ref.real, rtol=0,
+                                   atol=2e-5 * np.abs(ref).max(),
+                                   err_msg=f"re K={K} P={P}")
+        np.testing.assert_allclose(np.asarray(Yi), ref.imag, rtol=0,
+                                   atol=2e-5 * np.abs(ref).max(),
+                                   err_msg=f"im K={K} P={P}")
+
+
 def test_uniform_partitioned_conv_pallas_path():
     """frame_mac='pallas' (interpret via monkeypatched kernels on CPU)
     equals the frame-FFT reference path."""
@@ -112,16 +143,21 @@ def test_uniform_partitioned_conv_pallas_path():
     y_ref = pc.uniform_partitioned_conv(x, H, p, frame_mac="fft")
 
     orig_f, orig_i = pg.rfft_two_stage_pallas, pg.irfft_valid_two_stage_pallas
+    orig_m = pg.causal_mac_grid_pallas
     pc_f = lambda osa, pp, interpret=False: orig_f(osa, pp, True)
     pc_i = lambda Yr, Yi, pp, interpret=False: orig_i(Yr, Yi, pp, True)
+    pc_m = lambda Xr, Xi, Gr, Gi, pp, interpret=False: orig_m(
+        Xr, Xi, Gr, Gi, pp, True)
     import convopeq_tpu.ops.pallas_gemm_fft as mod
     mod.rfft_two_stage_pallas = pc_f
     mod.irfft_valid_two_stage_pallas = pc_i
+    mod.causal_mac_grid_pallas = pc_m
     try:
         y = pc.uniform_partitioned_conv(x, H, p, frame_mac="pallas")
     finally:
         mod.rfft_two_stage_pallas = orig_f
         mod.irfft_valid_two_stage_pallas = orig_i
+        mod.causal_mac_grid_pallas = orig_m
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=6e-5 * float(jnp.abs(y_ref).max()),
