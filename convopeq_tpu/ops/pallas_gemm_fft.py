@@ -223,6 +223,80 @@ def rfft_two_stage_pallas(osa, p: int, interpret: bool = False):
     return _rfft_two_stage_impl(osa, p, interpret, PALLAS_DOT_MODE)
 
 
+def _fwd_frames_kernel(fr_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref,
+                       f2cT_ref, f2sT_ref, xr_ref, xi_ref, osa_buf, *,
+                       tile: int, n1: int, n2: int, p: int, mode: str):
+    ft = pl.program_id(1)
+
+    @pl.when(ft == 0)
+    def _():
+        osa_buf[:] = jnp.zeros_like(osa_buf)
+
+    dot = _make_dot(mode)
+    f1c = f1c_ref[:]
+    f1s = f1s_ref[:]
+    ftcT = ftcT_ref[:]
+    ftsT = ftsT_ref[:]
+    f2cT = f2cT_ref[:]
+    f2sT = f2sT_ref[:]
+    for t in range(tile):
+        cur = fr_ref[0, t]
+        osa_buf[0, p:] = cur
+        at = osa_buf[0].reshape(n1, n2).T          # (n2, n1)
+        br = dot(at, f1c)
+        bi = dot(at, f1s)
+        cr = br * ftcT - bi * ftsT
+        ci = br * ftsT + bi * ftcT
+        xr_ref[0, t] = dot(f2cT, cr) - dot(f2sT, ci)
+        xi_ref[0, t] = dot(f2sT, cr) + dot(f2cT, ci)
+        osa_buf[0, :p] = cur                       # becomes next frame's prev
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str):
+    """rfft of the overlap-save frames [prev | cur] built IN VMEM from raw
+    p-sample frames (..., K, p): the previous frame is carried in kernel
+    scratch across the (sequential, frames-innermost) grid, so the 2p osa
+    tensor never exists in HBM — the XLA concatenate pass that built it
+    (a full extra write + read of 2x the signal) is gone.  Frame 0's prev
+    half is zero, the same boundary as the materialized form."""
+    shape = frames.shape
+    K = shape[-2]
+    C = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    N = 2 * p
+    N1, N2 = _pfactor(N)
+    K2 = N2 // 2 + 1
+    (f1c, f1s, ftcT, ftsT, f2c, f2s), _ = _grid_maps(p)
+    tile = next((t for t in (8, 4, 2, 1) if K % t == 0), 1)
+    x3 = frames.reshape(C, K, p).astype(jnp.float32)
+
+    consts = [jnp.asarray(m, jnp.float32)
+              for m in (f1c, f1s, ftcT, ftsT, f2c, f2s)]
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda c, ft: (0,) * nd)(
+        m.ndim), memory_space=pltpu.VMEM) for m in consts]
+    xr, xi = pl.pallas_call(
+        partial(_fwd_frames_kernel, tile=tile, n1=N1, n2=N2, p=p,
+                mode=mode),
+        grid=(C, K // tile),
+        in_specs=[pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, 0),
+                               memory_space=pltpu.VMEM)] + cspec,
+        out_specs=[pl.BlockSpec((1, tile, K2, N1),
+                                lambda c, ft: (c, ft, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((C, K, K2, N1), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        interpret=interpret,
+    )(x3, *consts)
+    g = K2 * N1
+    return (xr.reshape(shape[:-1] + (g,)), xi.reshape(shape[:-1] + (g,)))
+
+
+def rfft_frames_two_stage_pallas(frames, p: int, interpret: bool = False):
+    """Split grid spectra of overlap-save frames, from RAW (..., K, p)
+    frames (prev half carried in VMEM — see `_rfft_frames_impl`)."""
+    return _rfft_frames_impl(frames, p, interpret, PALLAS_DOT_MODE)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
                                 mode: str):

@@ -279,15 +279,19 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
     pad = k * p - n
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]) if pad else x
     frames = xp.reshape(x.shape[:-1] + (k, p))
-    # overlap-save input frame = [prev | cur]
-    prev = jnp.concatenate(
-        [jnp.zeros(frames.shape[:-2] + (1, p), x.dtype), frames[..., :-1, :]],
-        axis=-2)
-    osa = jnp.concatenate([prev, frames], axis=-1)        # (..., K, 2P)
+
+    def build_osa():
+        # overlap-save input frame = [prev | cur]; the Pallas forward
+        # builds this in VMEM instead (carried prev), so it is lazy here
+        prev = jnp.concatenate(
+            [jnp.zeros(frames.shape[:-2] + (1, p), x.dtype),
+             frames[..., :-1, :]], axis=-2)
+        return jnp.concatenate([prev, frames], axis=-1)   # (..., K, 2P)
     if isinstance(Hparts, tuple):
         # split re/im spectra (the dd/f64 accelerator mode: no complex128
         # on TPU) — all-GEMM/elementwise, complex-free pipeline
         Hr, Hi = Hparts
+        osa = build_osa()
         if p <= RDFT_MATMUL_MAX_P:
             Xr, Xi = _rfft_matmul(osa, p)
             Yr, Yi = _mac_matmul_ri(Xr, Xi, Hr, Hi)
@@ -326,11 +330,13 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             frame_mac = "gemmfft"
     if frame_mac == "pallas":
         import os
-        from .pallas_gemm_fft import (rfft_two_stage_pallas,
+        from .pallas_gemm_fft import (rfft_frames_two_stage_pallas,
                                       irfft_valid_two_stage_pallas,
                                       causal_mac_grid_pallas,
                                       spectra_to_grid)
-        Xr, Xi = rfft_two_stage_pallas(osa, p)
+        # raw frames in: the overlap-save prev half is carried in VMEM
+        # scratch by the kernel — no materialized 2p osa tensor
+        Xr, Xi = rfft_frames_two_stage_pallas(frames, p)
         Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
         if os.environ.get("CONVOPEQ_PALLAS_MAC", "1") != "0":
             # VMEM-ring MAC kernel: one HBM read of X + one Y write and
@@ -343,16 +349,16 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             Yr, Yi = jnp.real(Y), jnp.imag(Y)
         y = irfft_valid_two_stage_pallas(Yr, Yi, p)
     elif frame_mac == "rdft":
-        Xr, Xi = _rfft_matmul(osa, p)
+        Xr, Xi = _rfft_matmul(build_osa(), p)
         Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))
         y = _irfft_valid_matmul(Yr, Yi, p)
     elif frame_mac == "gemmfft":
         from .gemm_fft import rfft_gemm, irfft_valid_gemm
-        Xr, Xi = rfft_gemm(osa, p)
+        Xr, Xi = rfft_gemm(build_osa(), p)
         Y = _causal_frame_mac(jax.lax.complex(Xr, Xi), H)
         y = irfft_valid_gemm(jnp.real(Y), jnp.imag(Y), p)
     else:
-        X = jnp.fft.rfft(osa, axis=-1)                    # (..., K, P+1)
+        X = jnp.fft.rfft(build_osa(), axis=-1)            # (..., K, P+1)
         if frame_mac == "fft":
             Y = _causal_frame_mac_fft(X, H)
         elif frame_mac == "matmul":

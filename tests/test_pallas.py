@@ -97,6 +97,29 @@ def test_two_stage_pallas_fft_matches_numpy():
                 pg.PALLAS_DOT_MODE = old
 
 
+def test_rfft_frames_pallas_matches_materialized_osa():
+    """The frames-input forward (prev half carried in VMEM scratch)
+    equals the rfft of the materialized [prev | cur] overlap-save
+    tensor, including the zero prev of frame 0 and channel resets."""
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(13)
+    p = 512
+    C, K = 3, 6
+    frames = rng.normal(size=(C, K, p)).astype(np.float32)
+    prev = np.concatenate([np.zeros((C, 1, p), np.float32),
+                           frames[:, :-1]], axis=1)
+    osa = np.concatenate([prev, frames], axis=-1)
+    ref = np.fft.rfft(osa, axis=-1)
+    Xr, Xi = pg.rfft_frames_two_stage_pallas(jnp.asarray(frames), p,
+                                             interpret=True)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(Xr)[..., :p + 1], ref.real,
+                               rtol=0, atol=6e-5 * scale)
+    np.testing.assert_allclose(np.asarray(Xi)[..., :p + 1], ref.imag,
+                               rtol=0, atol=6e-5 * scale)
+
+
 def test_causal_mac_grid_pallas_matches_reference():
     """The VMEM-ring frame MAC kernel (interpret mode) equals the direct
     causal reduction Y[f] = sum_j X[f-j] H[j] on the stage grid, across
@@ -142,20 +165,21 @@ def test_uniform_partitioned_conv_pallas_path():
                              dtype=jnp.float32)
     y_ref = pc.uniform_partitioned_conv(x, H, p, frame_mac="fft")
 
-    orig_f, orig_i = pg.rfft_two_stage_pallas, pg.irfft_valid_two_stage_pallas
+    orig_f = pg.rfft_frames_two_stage_pallas
+    orig_i = pg.irfft_valid_two_stage_pallas
     orig_m = pg.causal_mac_grid_pallas
-    pc_f = lambda osa, pp, interpret=False: orig_f(osa, pp, True)
+    pc_f = lambda fr, pp, interpret=False: orig_f(fr, pp, True)
     pc_i = lambda Yr, Yi, pp, interpret=False: orig_i(Yr, Yi, pp, True)
     pc_m = lambda Xr, Xi, Gr, Gi, pp, interpret=False: orig_m(
         Xr, Xi, Gr, Gi, pp, True)
     import convopeq_tpu.ops.pallas_gemm_fft as mod
-    mod.rfft_two_stage_pallas = pc_f
+    mod.rfft_frames_two_stage_pallas = pc_f
     mod.irfft_valid_two_stage_pallas = pc_i
     mod.causal_mac_grid_pallas = pc_m
     try:
         y = pc.uniform_partitioned_conv(x, H, p, frame_mac="pallas")
     finally:
-        mod.rfft_two_stage_pallas = orig_f
+        mod.rfft_frames_two_stage_pallas = orig_f
         mod.irfft_valid_two_stage_pallas = orig_i
         mod.causal_mac_grid_pallas = orig_m
     np.testing.assert_allclose(
