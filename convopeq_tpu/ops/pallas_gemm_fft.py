@@ -355,15 +355,18 @@ def irfft_valid_two_stage_pallas(Yr, Yi, p: int, interpret: bool = False):
 _MAC_RING_BUDGET = 6 * 2 ** 20   # ring + H VMEM bytes per bin tile
 
 
-def _mac_tiles(K: int, K2: int, N1: int, P: int) -> tuple[int, int]:
-    """(frame tile, K2 tile): frame tile divides K; the K2 tile is the
-    largest divisor of K2 whose ring + H tiles fit the VMEM budget."""
+def _mac_tiles(K: int, g: int, P: int) -> tuple[int, int]:
+    """(frame tile, bin tile): frame tile divides K; the bin tile is the
+    largest 128-multiple divisor of the flattened grid axis whose ring +
+    H tiles fit the VMEM budget (Mosaic needs the lane-dim block to be a
+    multiple of 128, the sublane dims of 8 — the grid's K2 axis is odd,
+    so tiling happens on the flat axis)."""
     tf = next((t for t in (8, 4, 2, 1) if K % t == 0), 1)
-    tk2 = 1
-    for d in range(1, K2 + 1):
-        if K2 % d == 0 and P * d * N1 * 16 <= _MAC_RING_BUDGET:
-            tk2 = d
-    return tf, tk2
+    tb = 128 if g % 128 == 0 else g
+    for d in range(128, g + 1, 128):
+        if g % d == 0 and P * d * 16 <= _MAC_RING_BUDGET:
+            tb = max(tb, d)
+    return tf, tb
 
 
 def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
@@ -379,53 +382,51 @@ def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
     for t in range(tf):
         f = ft * tf + t
         slot = jax.lax.rem(f, Pc)
-        xr = xr_ref[0, t]
-        xi = xi_ref[0, t]
-        ring_r[pl.ds(slot, 1)] = xr[None]
-        ring_i[pl.ds(slot, 1)] = xi[None]
+        xr = xr_ref[0, pl.ds(t, 1)]                # (1, tb)
+        xi = xi_ref[0, pl.ds(t, 1)]
+        ring_r[pl.ds(slot, 1)] = xr
+        ring_i[pl.ds(slot, 1)] = xi
 
         def body(j, acc):
             ar, ai = acc
             q = jax.lax.rem(f - j + Pc, Pc)
-            rr = ring_r[pl.ds(q, 1)][0]
-            ri = ring_i[pl.ds(q, 1)][0]
-            hr = hr_ref[pl.ds(j, 1)][0]
-            hi = hi_ref[pl.ds(j, 1)][0]
+            rr = ring_r[pl.ds(q, 1)]
+            ri = ring_i[pl.ds(q, 1)]
+            hr = hr_ref[pl.ds(j, 1)]
+            hi = hi_ref[pl.ds(j, 1)]
             return (ar + rr * hr - ri * hi, ai + rr * hi + ri * hr)
 
         zero = jnp.zeros_like(xr)
         yr, yi = jax.lax.fori_loop(0, P, body, (zero, zero))
-        yr_ref[0, t] = yr
-        yi_ref[0, t] = yi
+        yr_ref[0, pl.ds(t, 1)] = yr
+        yi_ref[0, pl.ds(t, 1)] = yi
 
 
 @partial(jax.jit, static_argnums=(4, 5))
 def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
     shape = Xr.shape
     K = shape[-2]
-    N1, K2, g = grid_bins(p)
+    g = shape[-1]
     P = Gr.shape[0]
     C = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
-    tf, tk2 = _mac_tiles(K, K2, N1, P)
+    tf, tb = _mac_tiles(K, g, P)
 
-    xr = Xr.reshape(C, K, K2, N1)
-    xi = Xi.reshape(C, K, K2, N1)
-    hr = Gr.reshape(P, K2, N1)
-    hi = Gi.reshape(P, K2, N1)
+    xr = Xr.reshape(C, K, g)
+    xi = Xi.reshape(C, K, g)
 
-    xspec = pl.BlockSpec((1, tf, tk2, N1), lambda c, bt, ft: (c, ft, bt, 0),
+    xspec = pl.BlockSpec((1, tf, tb), lambda c, bt, ft: (c, ft, bt),
                          memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec((P, tk2, N1), lambda c, bt, ft: (0, bt, 0),
+    hspec = pl.BlockSpec((P, tb), lambda c, bt, ft: (0, bt),
                          memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         partial(_mac_kernel, tf=tf, P=P),
-        grid=(C, K2 // tk2, K // tf),
+        grid=(C, g // tb, K // tf),
         in_specs=[xspec, xspec, hspec, hspec],
         out_specs=[xspec, xspec],
-        out_shape=[jax.ShapeDtypeStruct((C, K, K2, N1), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((P, tk2, N1), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((C, K, g), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((P, tb), jnp.float32)] * 2,
         interpret=interpret,
-    )(xr, xi, hr, hi)
+    )(xr, xi, Gr, Gi)
     return yr.reshape(shape), yi.reshape(shape)
 
 

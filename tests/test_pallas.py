@@ -151,6 +151,40 @@ def test_causal_mac_grid_pallas_matches_reference():
                                    err_msg=f"im K={K} P={P}")
 
 
+def test_pallas_kernels_lower_for_tpu():
+    """AOT cross-lowering of every conv Pallas kernel for the TPU
+    platform at the HEADLINE partition size (p=16384, where the stage
+    grid's odd K2=129 axis makes Mosaic's block-divisibility rules
+    bite).  Interpret mode never checks these constraints, and the TPU
+    is not always reachable from CI — lowering is the earliest
+    hardware-free gate that catches them.  x64 is forced off: the TPU
+    runtime never runs these kernels under x64, and cross-lowering
+    pallas_call under x64 hits an unbounded recursion inside JAX's
+    lowering cache."""
+    import jax
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    p = 16384
+    C, K, P = 2, 8, 66
+    _N1, _K2, g = pg.grid_bins(p)
+    with jax.enable_x64(False):
+        frames = jnp.zeros((C, K, p), jnp.float32)
+        X = jnp.zeros((C, K, g), jnp.float32)
+        G = jnp.zeros((P, g), jnp.float32)
+        osa = jnp.zeros((C, K, 2 * p), jnp.float32)
+
+        for name, fn, args in [
+            ("fwd-frames", lambda fr: pg.rfft_frames_two_stage_pallas(
+                fr, p), (frames,)),
+            ("ring-mac", lambda a, b, c, d: pg.causal_mac_grid_pallas(
+                a, b, c, d, p), (X, X, G, G)),
+            ("inverse", lambda a, b: pg.irfft_valid_two_stage_pallas(
+                a, b, p), (X, X)),
+            ("fwd-osa", lambda o: pg.rfft_two_stage_pallas(o, p), (osa,)),
+        ]:
+            jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
 def test_uniform_partitioned_conv_pallas_path():
     """frame_mac='pallas' (interpret via monkeypatched kernels on CPU)
     equals the frame-FFT reference path."""
