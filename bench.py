@@ -28,6 +28,42 @@ import time
 import numpy as np
 
 
+def _pallas_selfcheck():
+    """Run the conv Pallas kernels once on the device at a tiny shape
+    before anything jits the full chain.  On failure, flip the env gates
+    (read at trace time inside ops/partitioned_conv) so the benchmark of
+    record degrades to the proven XLA pipeline instead of dying — the
+    kernels are cross-lowered for TPU in CI, but the final Mosaic
+    compile only happens on the chip."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu":
+        return
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+    p = 16384
+    _n1, _k2, g = pg.grid_bins(p)
+    try:
+        fr = jnp.zeros((1, 8, p), jnp.float32)
+        Xr, Xi = pg.rfft_frames_two_stage_pallas(fr, p)
+        G = jnp.zeros((3, g), jnp.float32)
+        Yr, Yi = pg.causal_mac_grid_pallas(Xr, Xi, G, G, p)
+        float(jnp.sum(pg.irfft_valid_two_stage_pallas(Yr, Yi, p)))
+        return
+    except Exception as e:                          # noqa: BLE001
+        print(f"# pallas self-check failed ({type(e).__name__}: {e}); "
+              "falling back", file=sys.stderr)
+    try:
+        osa = jnp.zeros((1, 8, 2 * p), jnp.float32)
+        Xr, Xi = pg.rfft_two_stage_pallas(osa, p)
+        float(jnp.sum(pg.irfft_valid_two_stage_pallas(Xr, Xi, p)))
+        # transforms fine: drop only the new frames-fwd + ring-MAC pair
+        os.environ["CONVOPEQ_PALLAS_FRAMES_FWD"] = "0"
+        os.environ["CONVOPEQ_PALLAS_MAC"] = "0"
+    except Exception:                               # noqa: BLE001
+        os.environ["CONVOPEQ_PALLAS_FFT"] = "0"     # whole pallas path
+
+
 def bench_all():
     """`python bench.py --all`: the five BASELINE.json configs (one JSON
     line each, headline last)."""
@@ -130,6 +166,7 @@ def main():
     from convopeq_tpu.models.eq import EQParams
     from convopeq_tpu.models.nuc import FilterSpec
 
+    _pallas_selfcheck()
     sr = 48000.0
     ir_len = 1_000_000
     # long buffers amortize the fixed host<->device round-trip (~30 ms

@@ -331,12 +331,16 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
     if frame_mac == "pallas":
         import os
         from .pallas_gemm_fft import (rfft_frames_two_stage_pallas,
+                                      rfft_two_stage_pallas,
                                       irfft_valid_two_stage_pallas,
                                       causal_mac_grid_pallas,
                                       spectra_to_grid)
-        # raw frames in: the overlap-save prev half is carried in VMEM
-        # scratch by the kernel — no materialized 2p osa tensor
-        Xr, Xi = rfft_frames_two_stage_pallas(frames, p)
+        if os.environ.get("CONVOPEQ_PALLAS_FRAMES_FWD", "1") != "0":
+            # raw frames in: the overlap-save prev half is carried in
+            # VMEM scratch by the kernel — no materialized 2p osa tensor
+            Xr, Xi = rfft_frames_two_stage_pallas(frames, p)
+        else:
+            Xr, Xi = rfft_two_stage_pallas(build_osa(), p)
         Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
         if os.environ.get("CONVOPEQ_PALLAS_MAC", "1") != "0":
             # VMEM-ring MAC kernel: one HBM read of X + one Y write and
