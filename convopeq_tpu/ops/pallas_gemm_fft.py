@@ -155,7 +155,7 @@ def _fwd_kernel(osa_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref, f2cT_ref,
 
 def _inv_kernel(yr_ref, yi_ref, wT_ref, i1cT_ref, i1sT_ref, itcT_ref,
                 itsT_ref, i2c_ref, i2s_ref, out_ref, *, tile: int, n1: int,
-                n2: int, mode: str):
+                n2: int, mode: str, batched: bool = False):
     dot = _make_dot(mode)
     wT = wT_ref[:]
     i1cT = i1cT_ref[:]
@@ -164,6 +164,12 @@ def _inv_kernel(yr_ref, yi_ref, wT_ref, i1cT_ref, i1sT_ref, itcT_ref,
     itsT = itsT_ref[:]
     i2c = i2c_ref[:]
     i2s = i2s_ref[:]
+    if batched:
+        p = out_ref.shape[-1]
+        _inv_stages_batched(yr_ref[:], yi_ref[:], wT, i1cT, i1sT, itcT,
+                            itsT, i2c, i2s, out_ref, tile=tile, n1=n1,
+                            n2=n2, p=p, dot=dot)
+        return
     for t in range(tile):
         ur = yr_ref[t] * wT                        # (k2, k1)
         ui = yi_ref[t] * wT
@@ -183,6 +189,59 @@ def _pick_tile(rows: int) -> int:
         if rows % t == 0:
             return t
     return 1
+
+
+def _batch_stages() -> bool:
+    """Batch the per-frame stage GEMMs across the frame tile (one
+    (tile*n2, n1) GEMM instead of `tile` small ones) — better MXU
+    pipeline occupancy at the cost of in-VMEM relayouts between stages.
+    Opt-in until measured on hardware: CONVOPEQ_PALLAS_BATCHSTAGE=1."""
+    import os
+    return os.environ.get("CONVOPEQ_PALLAS_BATCHSTAGE", "0") == "1"
+
+
+def _fwd_stages_batched(osa_tile, f1c, f1s, ftcT, ftsT, f2cT, f2sT,
+                        xr_ref, xi_ref, *, tile, n1, n2, dot):
+    """Both forward stages + twiddle for a whole (tile, N) frame block as
+    batched GEMMs.  osa_tile: (tile, N) VMEM value."""
+    k1 = f1c.shape[1]
+    k2 = f2cT.shape[0]
+    A = jnp.swapaxes(osa_tile.reshape(tile, n1, n2), 1, 2)  # (tile, n2, n1)
+    A2 = A.reshape(tile * n2, n1)
+    br = dot(A2, f1c).reshape(tile, n2, k1)
+    bi = dot(A2, f1s).reshape(tile, n2, k1)
+    cr = br * ftcT[None] - bi * ftsT[None]
+    ci = br * ftsT[None] + bi * ftcT[None]
+    # stage 2 contracts n2: gather all frames' k1 columns side by side
+    cr2 = jnp.swapaxes(cr, 0, 1).reshape(n2, tile * k1)
+    ci2 = jnp.swapaxes(ci, 0, 1).reshape(n2, tile * k1)
+    xr = (dot(f2cT, cr2) - dot(f2sT, ci2)).reshape(k2, tile, k1)
+    xi = (dot(f2sT, cr2) + dot(f2cT, ci2)).reshape(k2, tile, k1)
+    xr_ref[:] = jnp.swapaxes(xr, 0, 1)
+    xi_ref[:] = jnp.swapaxes(xi, 0, 1)
+
+
+def _inv_stages_batched(yr, yi, wT, i1cT, i1sT, itcT, itsT, i2c, i2s,
+                        out_ref, *, tile, n1, n2, p, dot):
+    """Both inverse stages + twiddle for a (tile, K2, k1) block as
+    batched GEMMs (valid-half synthesis)."""
+    k2 = wT.shape[0]
+    k1 = wT.shape[1]
+    ur = yr * wT[None]                              # (tile, k2, k1)
+    ui = yi * wT[None]
+    ur2 = jnp.swapaxes(ur, 0, 1).reshape(k2, tile * k1)
+    ui2 = jnp.swapaxes(ui, 0, 1).reshape(k2, tile * k1)
+    dr = dot(i1cT, ur2) - dot(i1sT, ui2)            # (n2, tile*k1)
+    di = dot(i1sT, ur2) + dot(i1cT, ui2)
+    dr = jnp.swapaxes(dr.reshape(n2, tile, k1), 0, 1)
+    di = jnp.swapaxes(di.reshape(n2, tile, k1), 0, 1)
+    er = dr * itcT[None] - di * itsT[None]          # (tile, n2, k1)
+    ei = dr * itsT[None] + di * itcT[None]
+    yj = (dot(er.reshape(tile * n2, k1), i2c)
+          - dot(ei.reshape(tile * n2, k1), i2s))    # (tile*n2, j1)
+    j1 = yj.shape[1]
+    yj = jnp.swapaxes(yj.reshape(tile, n2, j1), 1, 2)
+    out_ref[:] = yj.reshape(tile, p)                # j = j2 + n2*j1
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -225,7 +284,8 @@ def rfft_two_stage_pallas(osa, p: int, interpret: bool = False):
 
 def _fwd_frames_kernel(fr_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref,
                        f2cT_ref, f2sT_ref, xr_ref, xi_ref, osa_buf, *,
-                       tile: int, n1: int, n2: int, p: int, mode: str):
+                       tile: int, n1: int, n2: int, p: int, mode: str,
+                       batched: bool):
     ft = pl.program_id(1)
 
     @pl.when(ft == 0)
@@ -239,6 +299,19 @@ def _fwd_frames_kernel(fr_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref,
     ftsT = ftsT_ref[:]
     f2cT = f2cT_ref[:]
     f2sT = f2sT_ref[:]
+    if batched:
+        # assemble the whole (tile, N) overlap-save block, then run both
+        # stages as tile-wide GEMMs; osa_buf row 0's first half carries
+        # the previous step's last frame
+        fr = fr_ref[0]                             # (tile, p)
+        osa_buf[:, p:] = fr
+        if tile > 1:
+            osa_buf[1:, :p] = fr[:tile - 1]
+        _fwd_stages_batched(osa_buf[:], f1c, f1s, ftcT, ftsT, f2cT, f2sT,
+                            xr_ref.at[0], xi_ref.at[0], tile=tile, n1=n1,
+                            n2=n2, dot=dot)
+        osa_buf[0, :p] = fr[tile - 1]              # next step's prev
+        return
     for t in range(tile):
         cur = fr_ref[0, t]
         osa_buf[0, p:] = cur
@@ -252,8 +325,9 @@ def _fwd_frames_kernel(fr_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref,
         osa_buf[0, :p] = cur                       # becomes next frame's prev
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str,
+                      batched: bool = False):
     """rfft of the overlap-save frames [prev | cur] built IN VMEM from raw
     p-sample frames (..., K, p): the previous frame is carried in kernel
     scratch across the (sequential, frames-innermost) grid, so the 2p osa
@@ -276,7 +350,7 @@ def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str):
         m.ndim), memory_space=pltpu.VMEM) for m in consts]
     xr, xi = pl.pallas_call(
         partial(_fwd_frames_kernel, tile=tile, n1=N1, n2=N2, p=p,
-                mode=mode),
+                mode=mode, batched=batched),
         grid=(C, K // tile),
         in_specs=[pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, 0),
                                memory_space=pltpu.VMEM)] + cspec,
@@ -284,7 +358,8 @@ def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str):
                                 lambda c, ft: (c, ft, 0, 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((C, K, K2, N1), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile if batched else 1, N),
+                                   jnp.float32)],
         interpret=interpret,
     )(x3, *consts)
     g = K2 * N1
@@ -294,12 +369,13 @@ def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str):
 def rfft_frames_two_stage_pallas(frames, p: int, interpret: bool = False):
     """Split grid spectra of overlap-save frames, from RAW (..., K, p)
     frames (prev half carried in VMEM — see `_rfft_frames_impl`)."""
-    return _rfft_frames_impl(frames, p, interpret, PALLAS_DOT_MODE)
+    return _rfft_frames_impl(frames, p, interpret, PALLAS_DOT_MODE,
+                             _batch_stages())
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
-                                mode: str):
+                                mode: str, batched: bool = False):
     """Valid (second) half of irfft from split grid spectra (..., gbins)
     -> (..., p) f32."""
     from jax.experimental import pallas as pl
@@ -320,7 +396,8 @@ def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
     cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (0,) * nd)(m.ndim),
                           memory_space=pltpu.VMEM) for m in consts]
     out = pl.pallas_call(
-        partial(_inv_kernel, tile=tile, n1=N1, n2=N2, mode=mode),
+        partial(_inv_kernel, tile=tile, n1=N1, n2=N2, mode=mode,
+                batched=batched),
         grid=(rows // tile,),
         in_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM)] * 2 + cspec,
@@ -334,7 +411,7 @@ def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
 
 def irfft_valid_two_stage_pallas(Yr, Yi, p: int, interpret: bool = False):
     return _irfft_valid_two_stage_impl(Yr, Yi, p, interpret,
-                                       PALLAS_DOT_MODE)
+                                       PALLAS_DOT_MODE, _batch_stages())
 
 
 # ---------------------------------------------------------------- frame MAC

@@ -97,10 +97,12 @@ def test_two_stage_pallas_fft_matches_numpy():
                 pg.PALLAS_DOT_MODE = old
 
 
-def test_rfft_frames_pallas_matches_materialized_osa():
+@pytest.mark.parametrize("batched", [False, True])
+def test_rfft_frames_pallas_matches_materialized_osa(batched):
     """The frames-input forward (prev half carried in VMEM scratch)
     equals the rfft of the materialized [prev | cur] overlap-save
-    tensor, including the zero prev of frame 0 and channel resets."""
+    tensor, including the zero prev of frame 0 and channel resets —
+    in both the per-frame-loop and the tile-batched stage variants."""
     from convopeq_tpu.ops import pallas_gemm_fft as pg
 
     rng = np.random.default_rng(13)
@@ -111,13 +113,32 @@ def test_rfft_frames_pallas_matches_materialized_osa():
                            frames[:, :-1]], axis=1)
     osa = np.concatenate([prev, frames], axis=-1)
     ref = np.fft.rfft(osa, axis=-1)
-    Xr, Xi = pg.rfft_frames_two_stage_pallas(jnp.asarray(frames), p,
-                                             interpret=True)
+    Xr, Xi = pg._rfft_frames_impl(jnp.asarray(frames), p, True,
+                                  pg.PALLAS_DOT_MODE, batched)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(Xr)[..., :p + 1], ref.real,
                                rtol=0, atol=6e-5 * scale)
     np.testing.assert_allclose(np.asarray(Xi)[..., :p + 1], ref.imag,
                                rtol=0, atol=6e-5 * scale)
+
+
+def test_irfft_valid_batched_matches_looped():
+    """The tile-batched inverse stage variant equals numpy's valid-half
+    irfft, same contract as the looped variant."""
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(17)
+    p = 512
+    sig = rng.normal(size=(4, 2 * p)).astype(np.float32)
+    S = np.fft.rfft(sig, axis=-1)
+    ref_y = np.fft.irfft(S, n=2 * p, axis=-1)[..., p:]
+    Gr, Gi = pg.spectra_to_grid(jnp.asarray(S.real, jnp.float32),
+                                jnp.asarray(S.imag, jnp.float32), p)
+    y = pg._irfft_valid_two_stage_impl(Gr, Gi, p, True,
+                                       pg.PALLAS_DOT_MODE, True)
+    np.testing.assert_allclose(
+        np.asarray(y), ref_y, rtol=0,
+        atol=6e-5 * max(1.0, np.abs(ref_y).max()))
 
 
 def test_causal_mac_grid_pallas_matches_reference():
@@ -173,15 +194,23 @@ def test_pallas_kernels_lower_for_tpu():
         G = jnp.zeros((P, g), jnp.float32)
         osa = jnp.zeros((C, K, 2 * p), jnp.float32)
 
-        for name, fn, args in [
-            ("fwd-frames", lambda fr: pg.rfft_frames_two_stage_pallas(
-                fr, p), (frames,)),
+        cases = [
             ("ring-mac", lambda a, b, c, d: pg.causal_mac_grid_pallas(
                 a, b, c, d, p), (X, X, G, G)),
-            ("inverse", lambda a, b: pg.irfft_valid_two_stage_pallas(
-                a, b, p), (X, X)),
             ("fwd-osa", lambda o: pg.rfft_two_stage_pallas(o, p), (osa,)),
-        ]:
+        ]
+        for batched in (False, True):
+            cases += [
+                (f"fwd-frames-b{batched}",
+                 (lambda bt: lambda fr: pg._rfft_frames_impl(
+                     fr, p, False, pg.PALLAS_DOT_MODE, bt))(batched),
+                 (frames,)),
+                (f"inverse-b{batched}",
+                 (lambda bt: lambda a, b: pg._irfft_valid_two_stage_impl(
+                     a, b, p, False, pg.PALLAS_DOT_MODE, bt))(batched),
+                 (X, X)),
+            ]
+        for name, fn, args in cases:
             jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
 
 
