@@ -127,9 +127,7 @@ def main():
         # transport latency; deadline contract is per M-block window ----
         # (each extra mode is best-effort: a big stream count can OOM the
         # chip — record the error and keep the modes that fit)
-        M = args.multi
-
-        def run_multi():
+        def run_multi(M):
             state = sc.init_state((ns,))
             mblocks = [jax.device_put(jnp.asarray(
                 rng.normal(size=(ns, 2, BLOCK * M)) * 0.25, jnp.float32),
@@ -167,7 +165,7 @@ def main():
         # jit semantics (block latency = queue depth, not M re-framed);
         # the transport round-trip is paid once per window, so the
         # deadline contract is the M-block window. ---------------------
-        def run_pipelined():
+        def run_pipelined(M):
             state = sc.init_state((ns,))
             xrun_p = XrunDetector(SR, BLOCK * M)
             pwalls = []
@@ -196,20 +194,38 @@ def main():
                     ns * budget_ms * M / float(np.median(pw)), 1),
             }, xrun_p.xruns, nwin
 
+        # Window auto-degrade: the windowed modes hold up to M in-flight
+        # step allocations (donation frees a state buffer only once its
+        # step executes), so big stream counts can exhaust HBM.  A
+        # smaller window is a strictly HARDER deadline contract (the
+        # budget shrinks with M), so retrying M/2, M/4, ... on
+        # RESOURCE_EXHAUSTED stays honest — the artifact records the
+        # window that actually fit.
         for mode, runner in (("multi", run_multi),
                              ("pipelined", run_pipelined)):
-            try:
-                mstats, nxr, nwin = runner()
-                results["per_streams"][str(ns)][mode] = mstats
-                print(f"streams={ns} {mode}/{M}: median "
-                      f"{mstats['median_ms']} ms / window "
-                      f"{budget_ms * M:.1f} ms, p99 {mstats['p99_ms']} ms, "
-                      f"xruns {nxr}/{nwin}", file=sys.stderr)
-            except Exception as e:
-                results["per_streams"][str(ns)][mode] = {
-                    "error": f"{type(e).__name__}: {str(e)[:160]}"}
-                print(f"streams={ns} {mode}/{M}: {type(e).__name__}",
-                      file=sys.stderr)
+            M = args.multi
+            while True:
+                try:
+                    mstats, nxr, nwin = runner(M)
+                    results["per_streams"][str(ns)][mode] = mstats
+                    print(f"streams={ns} {mode}/{M}: median "
+                          f"{mstats['median_ms']} ms / window "
+                          f"{budget_ms * M:.1f} ms, p99 "
+                          f"{mstats['p99_ms']} ms, xruns {nxr}/{nwin}",
+                          file=sys.stderr)
+                    break
+                except Exception as e:
+                    oom = "RESOURCE_EXHAUSTED" in str(e)
+                    if oom and M > 2:
+                        M //= 2
+                        print(f"streams={ns} {mode}: OOM, retrying with "
+                              f"window {M}", file=sys.stderr)
+                        continue
+                    results["per_streams"][str(ns)][mode] = {
+                        "error": f"{type(e).__name__}: {str(e)[:160]}"}
+                    print(f"streams={ns} {mode}/{M}: {type(e).__name__}",
+                          file=sys.stderr)
+                    break
             _flush(results)
 
     _flush(results)
