@@ -74,7 +74,7 @@ def _ring_read(ring, pos, L):
 class StreamLayerState:
     """FDL spectra are carried as SPLIT re/im real arrays: the tunneled
     TPU backend has no complex dynamic_update_slice / lax.cond, and the
-    split form also feeds the Pallas fdl_mac kernel directly."""
+    split form matches the grid layout of ops/pallas_gemm_fft."""
     prev: jnp.ndarray       # (..., P) previous overlap-save frame
     fdl_r: jnp.ndarray      # (..., numParts, P+1) real plane, ring:
     fdl_i: jnp.ndarray      #   slot (k mod numParts) holds frame k
