@@ -1,0 +1,31 @@
+#!/bin/bash
+# Regenerate every TPU-measured artifact of record, in dependency order.
+# Run from the repo root with the TPU visible (the axon tunnel up).
+# Each step logs to /tmp and keeps going on failure so one flaky stage
+# doesn't lose the rest; check the summary at the end.
+set -u
+cd "$(dirname "$0")/.."
+
+declare -A rc
+run() {
+  local name="$1"; shift
+  echo "=== $name: $*"
+  timeout "${STEP_TIMEOUT:-3600}" "$@" > "/tmp/refresh_$name.log" 2>&1
+  rc[$name]=$?
+  tail -2 "/tmp/refresh_$name.log"
+}
+
+run bench_headline python bench.py
+run bench_all      python bench.py --all
+# bench_all prints one JSON line per config; the artifact of record is
+# the JSON lines only (warnings go to stderr but stay defensive)
+if [ "${rc[bench_all]}" -eq 0 ]; then
+  grep '^{' /tmp/refresh_bench_all.log > BENCH_ALL.jsonl
+fi
+run tpu_parity     python tools/tpu_parity.py
+run serving        python tools/serving_bench.py
+
+echo "=== summary"
+for k in bench_headline bench_all tpu_parity serving; do
+  echo "$k: rc=${rc[$k]} (log /tmp/refresh_$k.log)"
+done
