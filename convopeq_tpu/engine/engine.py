@@ -253,6 +253,7 @@ class ConvoPeqEngine:
         self._streaming_key = None
         self._streaming_snapshot = None
         self._fade = None                # in-flight streaming crossfade
+        self._dither_stream = None       # streaming shaper carry + RNG ctr
 
     # ------------------------------------------------------------------ IR
     def load_impulse_response(self, ir, ir_sample_rate=None,
@@ -672,14 +673,31 @@ class ConvoPeqEngine:
             self._streaming = sc
             self._streaming_key = key
             self._streaming_snapshot = snap
+            # a config change may switch shaper type (different carry
+            # order) — restart the shaper like the reference's rebuild
+            self._dither_stream = None
 
         bs = sc.block_size
         if self._xrun is None or self._xrun.period_s != bs / self.sample_rate:
             self._xrun = XrunDetector(self.sample_rate, bs)
         if state is None:
             state = sc.init_state(tuple(x.shape[:-2]))
+            self._dither_stream = None         # fresh stream, fresh shaper
 
+        import jax
         import jax.numpy as jnp
+        dithering = self.dither_bit_depth > 0
+        if dithering and self._dither_stream is None:
+            # the shaper carry persists across blocks AND across
+            # process_streaming calls of the same stream (the reference's
+            # shaper state lives for the session — DSPCoreDouble.cpp:582)
+            from ..models.dither import dither_state_init
+            self._dither_stream = {
+                "state": dither_state_init(x.shape[:-1], self.dither_type,
+                                           self.dtype),
+                "key": jax.random.PRNGKey(0),
+                "block": 0,
+            }
         nb = x.shape[-1] // bs
         outs = []
         for k in range(nb):
@@ -693,6 +711,23 @@ class ConvoPeqEngine:
                     fade["cf"], y_old, y, self.sample_rate)
                 if not fade["cf"].active:
                     self._fade = None
+            if dithering:
+                # dither after the mix, as in the offline path / the
+                # reference output stage; per-block TPDF uniforms come
+                # from a counter-keyed fold so any block boundary yields
+                # the same stream
+                ds = self._dither_stream
+                u = jax.random.uniform(
+                    jax.random.fold_in(ds["key"], ds["block"]),
+                    y.shape + (2,), dtype=y.dtype)
+                y, ds["state"] = apply_dither(
+                    y, self.dither_type, self.sample_rate,
+                    self.dither_bit_depth, uniforms=u,
+                    adaptive_coeffs=self.adaptive_banks.get(
+                        self.sample_rate, self.dither_bit_depth,
+                        self.learning_mode),
+                    state=ds["state"], return_state=True)
+                ds["block"] += 1
             dt = _time.perf_counter() - t0
             if self._xrun.record_step(dt):
                 self.telemetry.push("xrun", duration_us=dt * 1e6,

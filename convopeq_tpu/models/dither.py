@@ -297,13 +297,19 @@ def _use_pallas_quantizer(x) -> bool:
 
 
 def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
-                  headroom: float = K_OUTPUT_HEADROOM):
+                  headroom: float = K_OUTPUT_HEADROOM,
+                  state=None, return_state: bool = False):
     """PsychoacousticDither.processStereoBlock (PsychoacousticDither.h:280+).
 
     x: (..., N); uniforms: (..., N, 2) in [0,1).  Returns quantized signal.
+
+    state / return_state: the (..., order) error-feedback carry for
+    block-at-a-time streaming — the reference's shaper state persists
+    across callbacks, so ours must too for streaming == offline parity.
     """
     if bit_depth <= 0:
-        return x * headroom
+        out = x * headroom
+        return (out, state) if return_state else out
     x = jnp.asarray(x)
     dt = x.dtype
     c = jnp.asarray(psycho_coeffs(sample_rate, bit_depth), dt)
@@ -324,10 +330,12 @@ def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
         z = jnp.concatenate([err[..., None], z[..., :-1]], axis=-1)
         return z, q
 
-    z0 = jnp.zeros(batch + (NS_ORDER_PSYCHO,), dt)
+    z0 = jnp.zeros(batch + (NS_ORDER_PSYCHO,), dt) if state is None \
+        else jnp.asarray(state, dt)
     xs = (jnp.moveaxis(x, -1, 0), jnp.moveaxis(d, -1, 0))
-    _, q = jax.lax.scan(step, z0, xs, unroll=_scan_unroll())
-    return jnp.moveaxis(q, 0, -1)
+    zf, q = jax.lax.scan(step, z0, xs, unroll=_scan_unroll())
+    q = jnp.moveaxis(q, 0, -1)
+    return (q, zf) if return_state else q
 
 
 def _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp: bool):
@@ -345,15 +353,20 @@ def _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp: bool):
 
 def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
                         headroom: float = K_OUTPUT_HEADROOM,
-                        range_clamp: bool = False):
+                        range_clamp: bool = False,
+                        state=None, return_state: bool = False):
     """FixedNoiseShaper / Fixed15TapNoiseShaper processSample loop:
     y = x*headroom - sum c_i e_i; q = quantize(y); e0 = clamp(q-y, 2 scale).
 
     range_clamp=True adds Fixed15Tap's post-round integer-range clamp
     (Fixed15TapNoiseShaper.h:318-349 clamps q to [-invScale, invScale-1];
-    FixedNoiseShaper's quantize has no such clamp)."""
+    FixedNoiseShaper's quantize has no such clamp).
+
+    state / return_state: streaming error-feedback carry (see
+    psycho_dither)."""
     if bit_depth <= 0:
-        return x * headroom
+        out = x * headroom
+        return (out, state) if return_state else out
     x = jnp.asarray(x)
     dt = x.dtype
     c = jnp.asarray(coeffs, dt)
@@ -375,21 +388,28 @@ def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
         e = jnp.concatenate([err[..., None], e[..., :-1]], axis=-1)
         return e, q
 
-    e0 = jnp.zeros(batch + (order,), dt)
+    e0 = jnp.zeros(batch + (order,), dt) if state is None \
+        else jnp.asarray(state, dt)
     xs = (jnp.moveaxis(x, -1, 0),
           jnp.moveaxis(u[..., 0], -1, 0), jnp.moveaxis(u[..., 1], -1, 0))
-    _, q = jax.lax.scan(step, e0, xs, unroll=_scan_unroll())
-    return jnp.moveaxis(q, 0, -1)
+    ef, q = jax.lax.scan(step, e0, xs, unroll=_scan_unroll())
+    q = jnp.moveaxis(q, 0, -1)
+    return (q, ef) if return_state else q
 
 
 def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
-                   headroom: float = K_OUTPUT_HEADROOM):
+                   headroom: float = K_OUTPUT_HEADROOM,
+                   state=None, return_state: bool = False):
     """LatticeNoiseShaper (LatticeNoiseShaper.h:229-295):
     feedback = sum c_i s_i (ladder tap-out); tmp = x*h + feedback;
     q = quantize(tmp) with fullscale clamp; err clamped +-2*scale drives the
-    lattice state advance with per-stage clamp +-2.0."""
+    lattice state advance with per-stage clamp +-2.0.
+
+    state / return_state: streaming ladder-state carry (see
+    psycho_dither)."""
     if bit_depth <= 0:
-        return x * headroom
+        out = x * headroom
+        return (out, state) if return_state else out
     x = jnp.asarray(x)
     dt = x.dtype
     # jnp (not np) coercion so reflection_coeffs may be a traced array —
@@ -426,29 +446,48 @@ def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
         s = jnp.stack(new_s, axis=-1)
         return s, q
 
-    s0 = jnp.zeros(batch + (order,), dt)
+    s0 = jnp.zeros(batch + (order,), dt) if state is None \
+        else jnp.asarray(state, dt)
     xs = (jnp.moveaxis(x, -1, 0),
           jnp.moveaxis(u[..., 0], -1, 0), jnp.moveaxis(u[..., 1], -1, 0))
-    _, q = jax.lax.scan(step, s0, xs, unroll=_scan_unroll())
-    return jnp.moveaxis(q, 0, -1)
+    sf, q = jax.lax.scan(step, s0, xs, unroll=_scan_unroll())
+    q = jnp.moveaxis(q, 0, -1)
+    return (q, sf) if return_state else q
+
+
+def dither_state_init(x_batch_shape, shaper_type: int, dtype=None):
+    """Zero shaper carry for block streaming: (batch..., order)."""
+    order = {PSYCHOACOUSTIC: NS_ORDER_PSYCHO, FIXED4: 4, FIXED15: 16,
+             ADAPTIVE9: 9}[int(shaper_type)]
+    return jnp.zeros(tuple(x_batch_shape) + (order,),
+                     dtype or jnp.float64)
 
 
 def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
                  uniforms=None, key=None, adaptive_coeffs=None,
-                 headroom: float = K_OUTPUT_HEADROOM):
+                 headroom: float = K_OUTPUT_HEADROOM,
+                 state=None, return_state: bool = False):
     """Dither dispatch (DSPCoreDouble.cpp:644-653).  x: (..., N).
 
     uniforms: (..., N, 2) in [0,1); generated from `key` if omitted.
-    bit_depth <= 0 disables quantization (headroom only)."""
+    bit_depth <= 0 disables quantization (headroom only).
+
+    state / return_state: block-streaming shaper carry (the reference's
+    shaper state persists across callbacks).  When a carry is involved
+    the scan kernels run unconditionally — the Pallas quantizer keeps
+    its state inside the kernel and cannot resume from a caller carry.
+    """
     x = jnp.asarray(x)
     if bit_depth <= 0:
-        return x * headroom
+        out = x * headroom
+        return (out, state) if return_state else out
     if uniforms is None:
         if key is None:
             key = jax.random.PRNGKey(0)
         uniforms = jax.random.uniform(key, x.shape + (2,), dtype=x.dtype)
+    stateful = state is not None or return_state
     if shaper_type in (PSYCHOACOUSTIC, FIXED4, FIXED15) \
-            and _use_pallas_quantizer(x):
+            and not stateful and _use_pallas_quantizer(x):
         from ..ops.pallas_kernels import error_feedback_quantize
         if shaper_type == PSYCHOACOUSTIC:
             coeffs, mode = psycho_coeffs(sample_rate, bit_depth), "psycho"
@@ -464,14 +503,18 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
                                     mode=mode)
         return q.reshape(x.shape)
     if shaper_type == PSYCHOACOUSTIC:
-        return psycho_dither(x, uniforms, sample_rate, bit_depth, headroom)
+        return psycho_dither(x, uniforms, sample_rate, bit_depth, headroom,
+                             state=state, return_state=return_state)
     if shaper_type == FIXED4:
         return fixed_shaper_dither(x, uniforms, fixed4_coeffs(sample_rate),
-                                   bit_depth, headroom)
+                                   bit_depth, headroom,
+                                   state=state, return_state=return_state)
     if shaper_type == FIXED15:
         return fixed_shaper_dither(x, uniforms, fixed15_coeffs(sample_rate),
-                                   bit_depth, headroom, range_clamp=True)
+                                   bit_depth, headroom, range_clamp=True,
+                                   state=state, return_state=return_state)
     if shaper_type == ADAPTIVE9:
         k = adaptive_coeffs if adaptive_coeffs is not None else np.zeros(9)
-        return lattice_dither(x, uniforms, k, bit_depth, headroom)
+        return lattice_dither(x, uniforms, k, bit_depth, headroom,
+                              state=state, return_state=return_state)
     raise ValueError(f"unknown shaper type {shaper_type}")

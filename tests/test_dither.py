@@ -209,3 +209,59 @@ def test_statistical_noise_floor_16bit():
     assert abs(err.mean()) < scale * 0.1
     # noise-shaped error RMS is above plain TPDF but bounded
     assert np.sqrt((err ** 2).mean()) < 6 * scale
+
+
+def test_streaming_carry_bit_exact():
+    """Block-at-a-time dithering with the carried shaper state equals the
+    one-shot call BIT-EXACTLY for all four shapers (the reference's
+    shaper state persists across audio callbacks — DSPCoreDouble.cpp:582;
+    a per-block state reset would be audible as a shaping discontinuity)."""
+    n, bs = 1024, 128
+    x = jnp.asarray(RNG.normal(size=(2, n)) * 0.3)
+    u = jnp.asarray(RNG.uniform(size=(2, n, 2)))
+    cases = [
+        (PSYCHOACOUSTIC, {}),
+        (FIXED4, {}),
+        (FIXED15, {}),
+        (ADAPTIVE9, {"adaptive_coeffs": np.full(9, 0.12)}),
+    ]
+    for shaper, kw in cases:
+        ref = np.asarray(apply_dither(x, shaper, SR, 16, uniforms=u, **kw))
+        st = None
+        outs = []
+        for k in range(n // bs):
+            sl = slice(k * bs, (k + 1) * bs)
+            y, st = apply_dither(x[:, sl], shaper, SR, 16,
+                                 uniforms=u[:, sl], state=st,
+                                 return_state=True, **kw)
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+        np.testing.assert_array_equal(got, ref, err_msg=f"shaper {shaper}")
+
+
+def test_engine_streaming_dither_continuation():
+    """Engine-level streaming dither: processing one stream in two
+    process_streaming calls equals one call (counter-keyed per-block
+    uniforms + engine-held shaper carry), and the output lands on the
+    16-bit grid."""
+    from convopeq_tpu.engine import ConvoPeqEngine
+
+    bs = 512          # the no-convolver streaming chain's block size
+    n = bs * 8
+    x = jnp.asarray(RNG.normal(size=(1, 2, n)) * 0.2)
+
+    def run(chunks):
+        eng = ConvoPeqEngine(SR, bs)
+        eng.set_bypass(eq=True, conv=True)
+        eng.set_dither(FIXED15, 16)
+        st, outs = None, []
+        for a, b in chunks:
+            y, st = eng.process_streaming(x[..., a:b], state=st)
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, axis=-1)
+
+    one = run([(0, n)])
+    two = run([(0, 3 * bs), (3 * bs, n)])
+    np.testing.assert_array_equal(one, two)
+    grid = one * 32768.0
+    np.testing.assert_allclose(grid, np.round(grid), atol=1e-9)
