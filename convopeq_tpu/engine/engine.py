@@ -254,6 +254,10 @@ class ConvoPeqEngine:
         self._streaming_snapshot = None
         self._fade = None                # in-flight streaming crossfade
         self._dither_stream = None       # streaming shaper carry + RNG ctr
+        self._learner = None             # live NoiseShaperLearner session
+        self._learn_ring = None
+        self._learn_thread = None
+        self._learn_stop = None
 
     # ------------------------------------------------------------------ IR
     def load_impulse_response(self, ir, ir_sample_rate=None,
@@ -711,6 +715,14 @@ class ConvoPeqEngine:
                     fade["cf"], y_old, y, self.sample_rate)
                 if not fade["cf"].active:
                     self._fade = None
+            if self._learn_ring is not None:
+                # live capture for the adaptive-shaper learner: first
+                # stream, pre-dither (the reference pushes the audio
+                # entering the shaper into its LockFreeRingBuffer —
+                # AudioEngine.Learning.cpp); ring-full drops the block
+                blk0 = np.asarray(y)
+                blk0 = blk0.reshape((-1,) + blk0.shape[-2:])[0]
+                self._learn_ring.push(blk0.T.reshape(-1))
             if dithering:
                 # dither after the mix, as in the offline path / the
                 # reference output stage; per-block TPDF uniforms come
@@ -767,6 +779,84 @@ class ConvoPeqEngine:
         with self._upgrade_lock:
             self.block_size = int(block_size)
             self.load_impulse_response(self._ir_raw, self.sample_rate)
+
+    def start_learning(self, mode: int | None = None,
+                       generations_per_feed: int = 1, workers: int = 2,
+                       ring_samples: int = 1 << 20):
+        """Start the live adaptive-shaper learning session
+        (AudioEngine.Learning.cpp + NoiseShaperLearner.h): blocks
+        streamed through `process_streaming` are captured pre-dither into
+        a lock-free SPSC ring (the native C++ ring when available), a
+        daemon worker runs CMA-ES generations on ~K_FFT_LENGTH windows
+        under the 3-phase schedule, and each improved coefficient set is
+        published into `adaptive_banks` — the ADAPTIVE9 dither path picks
+        it up on its next block, the RCU-handoff analog."""
+        import threading
+        from ..models.learner import NoiseShaperLearner
+        if self._learn_thread is not None:
+            return self
+        if mode is not None:
+            self.learning_mode = int(mode)
+        bits = self.dither_bit_depth if self.dither_bit_depth > 0 else 16
+        self._learner = NoiseShaperLearner(
+            self.sample_rate, bits, self.learning_mode, workers=workers)
+        try:
+            from ..utils.native import NativeRing
+            self._learn_ring = NativeRing(ring_samples)
+        except Exception:                      # pragma: no cover
+            self._learn_ring = _PyRing(ring_samples)
+        self._learn_gens = max(1, int(generations_per_feed))
+        self._learn_stop = threading.Event()
+        t = threading.Thread(target=self._learning_loop,
+                             name="NoiseShaperLearning", daemon=True)
+        self._learn_thread = t
+        t.start()
+        return self
+
+    def stop_learning(self, timeout: float = 120.0):
+        """Stop the learning worker; returns the final LearnedState (or
+        None if learning never ran).  The learned banks stay published in
+        `adaptive_banks` and persist through save_state/load_state."""
+        if self._learn_thread is None:
+            return self._learner.state() if self._learner else None
+        self._learn_stop.set()
+        self._learn_thread.join(timeout=timeout)
+        self._learn_thread = None
+        self._learn_ring = None
+        return self._learner.state()
+
+    def _learning_loop(self):
+        import time as _time
+        from ..models.learner import K_FFT_LENGTH
+        need = 2 * K_FFT_LENGTH                 # interleaved stereo
+        pending = []
+        have = 0
+        while not self._learn_stop.is_set():
+            avail = self._learn_ring.readable
+            if avail >= 2:
+                chunk = self._learn_ring.pop(avail - (avail % 2))
+                if chunk is not None:
+                    pending.append(chunk)
+                    have += chunk.size
+            if have < need:
+                _time.sleep(1e-3)
+                continue
+            inter = np.concatenate(pending)
+            pending, have = [], 0
+            audio = inter.reshape(-1, 2).T       # (2, N)
+            try:
+                state = self._learner.feed(audio, self._learn_gens)
+            except Exception as e:               # pragma: no cover
+                self.telemetry.push("learning_error", error=repr(e))
+                continue
+            if state.best_coefficients is not None and \
+                    np.isfinite(state.best_score):
+                self.adaptive_banks.store_state(
+                    state, self.sample_rate, self._learner.bit_depth,
+                    self.learning_mode)
+                self.telemetry.push(
+                    "learning", generation=state.generations,
+                    score=state.best_score, phase=self._learner.phase)
 
     def telemetry_report(self) -> dict:
         """Evidence export (ISREvidenceExporter analog): telemetry stats +
@@ -855,6 +945,47 @@ class ConvoPeqEngine:
         self.adaptive_banks = AdaptiveCoefficientBanks.from_dict(
             st.get("adaptive_banks", {}))
         return self
+
+
+class _PyRing:
+    """Pure-python stand-in for utils.native.NativeRing (same surface)
+    when the C++ library cannot be built on the host."""
+
+    def __init__(self, capacity: int):
+        from collections import deque
+        self.capacity = capacity
+        self._q = deque()
+        self._n = 0
+        self._lock = threading.Lock()
+
+    @property
+    def readable(self):
+        return self._n
+
+    def push(self, arr) -> bool:
+        arr = np.asarray(arr, np.float64).ravel()
+        with self._lock:
+            if self._n + arr.size > self.capacity:
+                return False
+            self._q.append(arr)
+            self._n += arr.size
+        return True
+
+    def pop(self, n: int):
+        with self._lock:
+            if self._n < n:
+                return None
+            out = []
+            got = 0
+            while got < n:
+                a = self._q.popleft()
+                take = min(a.size, n - got)
+                out.append(a[:take])
+                if take < a.size:
+                    self._q.appendleft(a[take:])
+                got += take
+            self._n -= n
+        return np.concatenate(out)
 
 
 class ProgressiveUpgrader(threading.Thread):

@@ -296,3 +296,36 @@ def test_progressive_upgrade_ladder():
     up3.cancel()
     up3.run()
     assert up3.completed_steps == []
+
+
+def test_engine_live_learning_session():
+    """Live adaptive-shaper learning (AudioEngine.Learning.cpp analog):
+    streamed blocks are captured into the SPSC ring, the worker runs a
+    CMA-ES generation, the learned bank publishes into adaptive_banks,
+    and the ADAPTIVE9 dither path consumes it."""
+    import time
+    from convopeq_tpu.models.dither import ADAPTIVE9
+
+    eng = ConvoPeqEngine(SR, 512)
+    eng.set_bypass(eq=True, conv=True)
+    eng.set_dither(ADAPTIVE9, 16)
+    eng.start_learning(mode=0)
+    assert eng.start_learning() is eng        # idempotent while running
+
+    x = jnp.asarray(RNG.normal(size=(1, 2, 512 * 10)) * 0.3)
+    st = None
+    deadline = time.monotonic() + 240.0
+    while eng._learner.generation < 1 and time.monotonic() < deadline:
+        _, st = eng.process_streaming(x, state=st)
+        time.sleep(0.05)
+    state = eng.stop_learning()
+    assert state.generations >= 1, "worker never completed a generation"
+    assert np.isfinite(state.best_score)
+    assert eng.adaptive_banks.get(SR, 16, 0) is not None
+    # banks ride the preset round trip and the dither path consumes them
+    eng2 = ConvoPeqEngine(SR, 512)
+    eng2.load_state(eng.save_state())
+    assert eng2.adaptive_banks.get(SR, 16, 0) is not None
+    y, _ = eng2.process_streaming(x)
+    grid = np.asarray(y) * 32768.0
+    np.testing.assert_allclose(grid, np.round(grid), atol=1e-9)
