@@ -39,7 +39,7 @@ from ..runtime.crossfade import (CrossfadeState, classify_transition,
                                  fade_time_for)
 from ..runtime.telemetry import (RuntimeHealthMonitor, RuntimePolicyEngine,
                                  StageTimer, TelemetryRecorder, XrunDetector)
-from ..utils.dsputil import next_pow2
+from ..utils.dsputil import K_OUTPUT_HEADROOM, next_pow2
 from ..utils.wavio import read_wav
 from .cache import LRUCache, MixedPhaseDiskCache, content_hash
 from .eq_analysis import estimate_planner_gain_db, max_active_q
@@ -181,6 +181,17 @@ def trim_ir(ir: np.ndarray, sample_rate: float, target_length: int):
         ramp = 1.0 - np.arange(fade) / fade   # juce applyGainRamp 1.0 -> 0.0
         out[..., copy - fade:copy] *= ramp
     return out
+
+
+@dataclass
+class StreamCarry:
+    """Per-stream carry returned by `process_streaming`: the chain's
+    DSP state plus the dither shaper carry and its RNG block counter.
+    Everything a stream owns rides here, so several independent streams
+    can interleave through one engine without cross-contamination."""
+    chain: object
+    dither: object = None
+    block: int = 0
 
 
 @dataclass
@@ -589,6 +600,13 @@ class ConvoPeqEngine:
                 xp = x[..., :min(fade_n + margin, x.shape[-1])]
                 old_fn, old_conv = prev["fn"], prev["conv"]
                 y_old = old_fn(xp) if old_conv is None else old_fn(xp, old_conv)
+                new_hic = bool(cfg.apply_output_headroom)
+                if prev.get("headroom_in_chain", new_hic) != new_hic:
+                    # the dither setting flipped between the two chains:
+                    # reconcile the -1 dB output-headroom convention so
+                    # the fading-out component is not at headroom^2 / ^0
+                    y_old = y_old * (K_OUTPUT_HEADROOM if new_hic
+                                     else 1.0 / K_OUTPUT_HEADROOM)
                 mixed = crossfade_mix(y_old[..., :fade_n], y[..., :fade_n],
                                       self.sample_rate, ft)
                 y = jnp.concatenate([mixed, y[..., fade_n:]], axis=-1)
@@ -610,6 +628,8 @@ class ConvoPeqEngine:
         self._published = {"key": cache_key, "fn": pub_fn,
                            "conv": self._conv_state, "snapshot": snap,
                            "mix_key": mix_key,
+                           "headroom_in_chain":
+                               bool(cfg.apply_output_headroom),
                            "margin": self._forward_horizon()}
 
         if self.dither_bit_depth > 0:
@@ -657,99 +677,121 @@ class ConvoPeqEngine:
             self._streaming = sc
             self._streaming_key = key
             self._streaming_snapshot = self._transition_snapshot()
-        elif key != self._streaming_key:
+        # accept either a StreamCarry or (legacy) a bare chain-state pytree
+        carry = state if isinstance(state, StreamCarry) else \
+            (StreamCarry(chain=state) if state is not None else None)
+        if key != self._streaming_key:
             new_sc = self.streaming_chain()
             snap = self._transition_snapshot()
-            if (self.crossfade_enabled and state is not None
+            if (self.crossfade_enabled and carry is not None
                     and new_sc.block_size == sc.block_size):
                 triggers = classify_transition(self._streaming_snapshot,
                                                snap) or ("default",)
                 ft = fade_time_for(triggers)
                 fade_n = max(1, int(round(ft * self.sample_rate)))
-                self._fade = {"sc": sc, "state": state,
+                # remember whether the OLD chain applied the -1 dB output
+                # headroom in-chain: when the dither setting flips, the
+                # two chains' headroom conventions differ and the old
+                # output must be rescaled before mixing (else the fading
+                # component sits at headroom^2 or headroom^0)
+                self._fade = {"sc": sc, "state": carry.chain,
+                              "headroom_in_chain":
+                                  bool(sc.cfg.apply_output_headroom),
                               "cf": CrossfadeState(fade_samples=fade_n)}
                 self.telemetry.push("crossfade", triggers=list(triggers),
                                     fade_ms=ft * 1e3, path="streaming")
-                state = None     # new chain starts from fresh state
+                carry = None     # new chain starts from fresh state
             else:
                 self._fade = None
             sc = new_sc
             self._streaming = sc
             self._streaming_key = key
             self._streaming_snapshot = snap
-            # a config change may switch shaper type (different carry
-            # order) — restart the shaper like the reference's rebuild
-            self._dither_stream = None
 
         bs = sc.block_size
         if self._xrun is None or self._xrun.period_s != bs / self.sample_rate:
             self._xrun = XrunDetector(self.sample_rate, bs)
-        if state is None:
-            state = sc.init_state(tuple(x.shape[:-2]))
-            self._dither_stream = None         # fresh stream, fresh shaper
 
         import jax
         import jax.numpy as jnp
         dithering = self.dither_bit_depth > 0
-        if dithering and self._dither_stream is None:
+        if carry is None:
+            chain_state = sc.init_state(tuple(x.shape[:-2]))
+            dither_state, block_ctr = None, 0
+        else:
+            chain_state = carry.chain
+            dither_state, block_ctr = carry.dither, carry.block
+        if dithering and dither_state is None:
             # the shaper carry persists across blocks AND across
             # process_streaming calls of the same stream (the reference's
-            # shaper state lives for the session — DSPCoreDouble.cpp:582)
+            # shaper state lives for the session — DSPCoreDouble.cpp:582);
+            # it rides the RETURNED carry, so interleaving several streams
+            # through one engine keeps their shapers independent
             from ..models.dither import dither_state_init
-            self._dither_stream = {
-                "state": dither_state_init(x.shape[:-1], self.dither_type,
-                                           self.dtype),
-                "key": jax.random.PRNGKey(0),
-                "block": 0,
-            }
+            dither_state = dither_state_init(x.shape[:-1], self.dither_type,
+                                             self.dtype)
+            block_ctr = 0
+        dkey = jax.random.PRNGKey(0)
+        new_headroom_in_chain = bool(sc.cfg.apply_output_headroom)
         nb = x.shape[-1] // bs
         outs = []
         for k in range(nb):
             blk = x[..., k * bs:(k + 1) * bs]
             t0 = _time.perf_counter()
-            state, y = sc.step(state, blk)
+            chain_state, y = sc.step(chain_state, blk)
             fade = self._fade
             if fade is not None:
                 fade["state"], y_old = fade["sc"].step(fade["state"], blk)
+                if fade["headroom_in_chain"] != new_headroom_in_chain:
+                    # reconcile the headroom convention (see above)
+                    adj = K_OUTPUT_HEADROOM if new_headroom_in_chain \
+                        else 1.0 / K_OUTPUT_HEADROOM
+                    y_old = y_old * adj
                 fade["cf"], y = crossfade_blocks(
                     fade["cf"], y_old, y, self.sample_rate)
                 if not fade["cf"].active:
                     self._fade = None
-            if self._learn_ring is not None:
-                # live capture for the adaptive-shaper learner: first
-                # stream, pre-dither (the reference pushes the audio
-                # entering the shaper into its LockFreeRingBuffer —
-                # AudioEngine.Learning.cpp); ring-full drops the block
-                blk0 = np.asarray(y)
-                blk0 = blk0.reshape((-1,) + blk0.shape[-2:])[0]
-                self._learn_ring.push(blk0.T.reshape(-1))
+            y_pre_dither = y
             if dithering:
                 # dither after the mix, as in the offline path / the
                 # reference output stage; per-block TPDF uniforms come
                 # from a counter-keyed fold so any block boundary yields
                 # the same stream
-                ds = self._dither_stream
                 u = jax.random.uniform(
-                    jax.random.fold_in(ds["key"], ds["block"]),
+                    jax.random.fold_in(dkey, block_ctr),
                     y.shape + (2,), dtype=y.dtype)
-                y, ds["state"] = apply_dither(
+                y, dither_state = apply_dither(
                     y, self.dither_type, self.sample_rate,
                     self.dither_bit_depth, uniforms=u,
                     adaptive_coeffs=self.adaptive_banks.get(
                         self.sample_rate, self.dither_bit_depth,
                         self.learning_mode),
-                    state=ds["state"], return_state=True)
-                ds["block"] += 1
+                    state=dither_state, return_state=True)
+                block_ctr += 1
             dt = _time.perf_counter() - t0
             if self._xrun.record_step(dt):
                 self.telemetry.push("xrun", duration_us=dt * 1e6,
                                     block=int(k))
+            ring = self._learn_ring
+            if ring is not None and ring.writable >= 2 * bs:
+                # live capture for the adaptive-shaper learner: first
+                # stream, PRE-dither (the reference pushes the audio
+                # entering the shaper into its LockFreeRingBuffer —
+                # AudioEngine.Learning.cpp; the learner simulates its own
+                # quantizer on top).  Outside the XRUN-timed region, and
+                # only when the ring has room — a full ring must not cost
+                # a device->host sync just to drop the block
+                blk0 = np.asarray(y_pre_dither)
+                blk0 = blk0.reshape((-1,) + blk0.shape[-2:])[0]
+                ring.push(blk0.T.reshape(-1))
             outs.append(y)
         health = self.health_monitor.tick(self._xrun.xruns, self._xrun.steps)
         self.policy.evaluate(health)
+        out_carry = StreamCarry(chain=chain_state, dither=dither_state,
+                                block=block_ctr)
         if not outs:
-            return x[..., :0], state
-        return jnp.concatenate(outs, axis=-1), state
+            return x[..., :0], out_carry
+        return jnp.concatenate(outs, axis=-1), out_carry
 
     def progressive_upgrade(self, target_block_size: int,
                             background: bool = False, on_step=None):
@@ -801,10 +843,10 @@ class ConvoPeqEngine:
         self._learner = NoiseShaperLearner(
             self.sample_rate, bits, self.learning_mode, workers=workers)
         try:
-            from ..utils.native import NativeRing
+            from ..utils.native import NativeRing, NativeUnavailable
             self._learn_ring = NativeRing(ring_samples)
-        except Exception:                      # pragma: no cover
-            self._learn_ring = _PyRing(ring_samples)
+        except (ImportError, OSError, NativeUnavailable):  # lib missing
+            self._learn_ring = _PyRing(ring_samples)       # pragma: no cover
         self._learn_gens = max(1, int(generations_per_feed))
         self._learn_stop = threading.Event()
         t = threading.Thread(target=self._learning_loop,
@@ -821,6 +863,13 @@ class ConvoPeqEngine:
             return self._learner.state() if self._learner else None
         self._learn_stop.set()
         self._learn_thread.join(timeout=timeout)
+        if self._learn_thread.is_alive():
+            # the worker is mid-feed; keep the session registered so a
+            # new start_learning cannot attach a second consumer to the
+            # single-consumer ring — callers can retry stop_learning
+            self.telemetry.push("learning_stop_timeout",
+                                timeout_s=float(timeout))
+            return self._learner.state()
         self._learn_thread = None
         self._learn_ring = None
         return self._learner.state()

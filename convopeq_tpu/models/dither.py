@@ -457,8 +457,9 @@ def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
 
 def dither_state_init(x_batch_shape, shaper_type: int, dtype=None):
     """Zero shaper carry for block streaming: (batch..., order)."""
-    order = {PSYCHOACOUSTIC: NS_ORDER_PSYCHO, FIXED4: 4, FIXED15: 16,
-             ADAPTIVE9: 9}[int(shaper_type)]
+    order = {PSYCHOACOUSTIC: NS_ORDER_PSYCHO, FIXED4: NS_ORDER_FIXED4,
+             FIXED15: NS_ORDER_FIXED15,
+             ADAPTIVE9: NS_ORDER_LATTICE}[int(shaper_type)]
     return jnp.zeros(tuple(x_batch_shape) + (order,),
                      dtype or jnp.float64)
 

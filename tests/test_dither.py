@@ -265,3 +265,42 @@ def test_engine_streaming_dither_continuation():
     np.testing.assert_array_equal(one, two)
     grid = one * 32768.0
     np.testing.assert_allclose(grid, np.round(grid), atol=1e-9)
+
+
+def test_engine_streaming_dither_interleaved_streams():
+    """Two carried-state streams interleaved through ONE engine must each
+    match their solo run exactly — the shaper carry and RNG block counter
+    ride the per-stream StreamCarry, not the engine."""
+    from convopeq_tpu.engine import ConvoPeqEngine
+
+    bs = 512
+    n = bs * 4
+    xa = jnp.asarray(RNG.normal(size=(1, 2, n)) * 0.2)
+    xb = jnp.asarray(RNG.normal(size=(1, 2, n)) * 0.2)
+
+    def make():
+        eng = ConvoPeqEngine(SR, bs)
+        eng.set_bypass(eq=True, conv=True)
+        eng.set_dither(PSYCHOACOUSTIC, 16)
+        return eng
+
+    # solo runs
+    eng = make()
+    ya_solo, _ = eng.process_streaming(xa)
+    eng = make()
+    yb_solo, _ = eng.process_streaming(xb)
+
+    # interleaved block-by-block through one engine
+    eng = make()
+    sta = stb = None
+    outa, outb = [], []
+    for k in range(n // bs):
+        sl = slice(k * bs, (k + 1) * bs)
+        ya, sta = eng.process_streaming(xa[..., sl], state=sta)
+        yb, stb = eng.process_streaming(xb[..., sl], state=stb)
+        outa.append(np.asarray(ya))
+        outb.append(np.asarray(yb))
+    np.testing.assert_array_equal(np.concatenate(outa, -1),
+                                  np.asarray(ya_solo))
+    np.testing.assert_array_equal(np.concatenate(outb, -1),
+                                  np.asarray(yb_solo))
