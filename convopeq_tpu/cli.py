@@ -56,11 +56,14 @@ def _serve_blocks(eng, x):
         x = np.pad(x, [(0, 0), (0, pad)])
     nb = x.shape[-1] // bs
     loop = NativeServingLoop(sc, 1)
+    stop = threading.Event()
 
     def produce():
         for k in range(nb):
             blk = np.asarray(x[:, k * bs:(k + 1) * bs], np.float32)
             while not loop.push(0, blk):
+                if stop.is_set():       # consumer gave up: don't spin
+                    return              # forever on a full ring
                 _t.sleep(1e-4)          # ring full: back off
 
     th = threading.Thread(target=produce)
@@ -75,6 +78,7 @@ def _serve_blocks(eng, x):
             if out is None:
                 break
             got.append(out)
+    stop.set()
     th.join()
     st = loop.stats()
     print(f"serving: {st['served_blocks']} blocks of {bs}, "

@@ -395,6 +395,10 @@ class ConvoPeqEngine:
         (ConvolverProcessor.Runtime.cpp:601-603, LinearRamp over
         smoothingTimeSec default 0.1 s)."""
         old = self.config.wet_dry_mix
+        if isinstance(self._pending_mix_ramp, tuple):
+            # mid-ramp retarget: start from the value actually reached
+            # (LinearRamp retarget semantics, pinned by engine_math.json)
+            old = self._pending_mix_ramp[0]
         mix = float(mix)
         if mix != old:
             self._pending_mix_ramp = old
@@ -467,16 +471,22 @@ class ConvoPeqEngine:
         return lb
 
     # ------------------------------------------------------------ process
-    def _chain_key(self):
+    def _chain_key(self, strip_mix: bool = False):
         # IR identity must be content-stable: id(self._conv_state) can be
         # reused after the prepared-state LRU evicts + GC frees an old
         # NUCState, which would return a stale compiled chain whose baked-in
         # auto-gain belongs to the previous IR.  The prepared-cache content
         # key (set by load_impulse_response) is stable across the IR's life.
+        # strip_mix=True removes the wet/dry mix from the key: two configs
+        # compare equal iff they differ ONLY in mix (the pure-mix-change
+        # test the crossfade skip needs — comparing just the config repr
+        # would miss EQ/IR/dither changes that ride along with a mix move).
         ir_key = None if self._conv_state is None else \
             getattr(self, "_ir_content_key", None)
+        cfg_repr = repr(replace(self.config, wet_dry_mix=-1.0)) \
+            if strip_mix else repr(self.config)
         return (self.eq_params.config_key(),
-                repr(self.config), self.auto_gain_enabled,
+                cfg_repr, self.auto_gain_enabled,
                 self.dither_type, self.dither_bit_depth, ir_key)
 
     def _forward_horizon(self) -> int:
@@ -531,7 +541,7 @@ class ConvoPeqEngine:
         cfg = self._effective_config()
         cache_key = self._chain_key()
         snap = self._transition_snapshot()
-        mix_key = repr(replace(self.config, wet_dry_mix=-1.0))
+        mix_key = self._chain_key(strip_mix=True)
 
         # wet/dry mix smoothing (ConvolverProcessor.Runtime.cpp:601-603):
         # a pending mix change is ramped per-sample at the processing rate
@@ -544,15 +554,25 @@ class ConvoPeqEngine:
                     cfg.oversampling_factor, self.sample_rate)
                 proc_rate = self.sample_rate * os_f
                 n_proc = x.shape[-1] * os_f
-                steps = max(1, int(proc_rate
-                                   * self.mix_smoothing_time_sec + 0.5))
-                old_m = float(self._pending_mix_ramp)
+                pend = self._pending_mix_ramp
+                if isinstance(pend, tuple):      # ramp continuing from a
+                    old_m, steps = pend          # previous short buffer
+                else:
+                    old_m = float(pend)
+                    steps = max(1, int(proc_rate
+                                       * self.mix_smoothing_time_sec + 0.5))
                 new_m = float(cfg.wet_dry_mix)
                 k = np.arange(n_proc) + 1.0       # LinearRamp: advance first
                 ramp = np.where(k >= steps, new_m,
                                 old_m + (new_m - old_m) / steps * k)
                 mix_ramp = jnp.asarray(ramp, self.dtype)
-            self._pending_mix_ramp = None
+                # a buffer shorter than the smoothing window carries the
+                # ramp into the next call (same linear trajectory) instead
+                # of hard-switching to the scalar target mid-ramp
+                self._pending_mix_ramp = (float(ramp[-1]), steps - n_proc) \
+                    if n_proc < steps else None
+            else:
+                self._pending_mix_ramp = None
 
         trace_key = (cache_key, "mixramp") if mix_ramp is not None \
             else cache_key
@@ -735,6 +755,7 @@ class ConvoPeqEngine:
         new_headroom_in_chain = bool(sc.cfg.apply_output_headroom)
         nb = x.shape[-1] // bs
         outs = []
+        warmed = getattr(sc, "_xrun_warmed", False)
         for k in range(nb):
             blk = x[..., k * bs:(k + 1) * bs]
             t0 = _time.perf_counter()
@@ -768,8 +789,20 @@ class ConvoPeqEngine:
                         self.learning_mode),
                     state=dither_state, return_state=True)
                 block_ctr += 1
+            # fence before reading the clock: async dispatch would make
+            # the XRUN detector time enqueueing, not the device (best
+            # effort — some tunneled transports don't fully synchronize)
+            jax.block_until_ready(y)
             dt = _time.perf_counter() - t0
-            if self._xrun.record_step(dt):
+            if not warmed:
+                # first block after a (re)build pays the jit compile —
+                # wall time that is not a deadline miss of the DSP chain;
+                # count the step (health denominators stay honest) but
+                # never as an XRUN
+                warmed = True
+                sc._xrun_warmed = True
+                self._xrun.record_step(0.0)
+            elif self._xrun.record_step(dt):
                 self.telemetry.push("xrun", duration_us=dt * 1e6,
                                     block=int(k))
             ring = self._learn_ring

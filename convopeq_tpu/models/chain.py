@@ -304,17 +304,21 @@ def fused_prefilter_ir(cfg: ChainConfig, eq_params: EQParams | None,
 
 def prepare_fused_prefilter(cfg: ChainConfig, eq_params: EQParams | None,
                             eps: float = 1e-10, dtype=None,
-                            part_size: int = 8192, spec=None):
+                            part_size: int = 8192, spec=None,
+                            ir_len: int = 10 ** 6, block_size: int = 512):
     """Partitioned spectra of the folded prefilter: (Hg, part_size).
 
     Pass the FilterSpec as `spec` to fold the HC/LC curve in (and prepare
     the NUC with apply_spectrum_filter=False); AIR tail mode (per-layer
-    damping) is not fusable."""
+    damping) is not fusable.  Pass the ACTUAL ir_len/block_size so the
+    damping-eligibility probe inspects the caller's real layer plan (the
+    defaults are a conservative 1M-tap probe whose long tail carries
+    damping whenever the mode can produce any)."""
     from ..ops.partitioned_conv import partition_spectra
     if spec is not None:
         from .nuc import plan_layers
         # reject configs whose layers would carry per-layer damping
-        probe = plan_layers(10 ** 6, 512, spec)
+        probe = plan_layers(ir_len, block_size, spec)
         if any(lp.damping is not None for lp in probe.layers):
             raise ValueError("AIR tail mode (per-layer damping) cannot be "
                              "folded into a global prefilter")
@@ -335,7 +339,11 @@ def process_chain_fused(x, cfg: ChainConfig, conv_state, prefilter=None):
     x = jnp.asarray(x)
     x = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= 1e-20), x, 0.0)  # Inf survives to the clamp (ref: +-1), pinned by engine_math.json
     x = jnp.clip(x, -1.0, 1.0)
-    pre = cfg.input_headroom_gain * cfg.convolver_input_trim_gain
+    # trim applies only on the EQ->conv order, as in the staged chain
+    # (it trims EQ output into the convolver; conv-first has no EQ ahead)
+    pre = cfg.input_headroom_gain * (
+        cfg.convolver_input_trim_gain
+        if cfg.order != CONVOLVER_THEN_EQ else 1.0)
     if pre != 1.0:
         x = x * pre
     if prefilter is not None:

@@ -65,11 +65,10 @@ def stereo_prepare(ir_stereo, block_size: int, spec: FilterSpec | None = None,
 def _equal_power_sin_traced(m):
     """equalPowerSin on a traced array (the per-sample smoothing path,
     ConvolverProcessor.Runtime.cpp:601-603: wg[i]=eps(mix_i)*headroom,
-    dg[i]=eps(1-mix_i) with mix_i from the LinearRamp)."""
-    t = m * (np.pi * 0.5)
-    t2 = t * t
-    return t * (1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0
-                + t2 * (-1.0 / 5040.0 + t2 * (1.0 / 362880.0)))))
+    dg[i]=eps(1-mix_i) with mix_i from the LinearRamp).  Same polynomial
+    object as the scalar steady-state gain."""
+    from ..utils.dsputil import equal_power_sin_poly
+    return equal_power_sin_poly(m)
 
 
 def convolver_process(x, state: StereoConvolverState, mix: float = 1.0,

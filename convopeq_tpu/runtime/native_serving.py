@@ -46,9 +46,12 @@ class NativeServingLoop:
         self._jnp = jnp
         if warmup:
             # prepareToPlay analog: compile + warm the step on silence so
-            # the first served window's wall is serving, not compilation
+            # the first served window's wall is serving, not compilation.
+            # Runs on a THROWAWAY state: under donate_state=True the step
+            # donates its input state's buffers, and warming on self.state
+            # would leave serve_window dereferencing deleted arrays.
             z = jnp.zeros((n_streams, 2, self.block), chain.dtype)
-            _, y = chain.step(self.state, z)
+            _, y = chain.step(chain.init_state((n_streams,)), z)
             np.asarray(y)
 
     # producer / consumer pass-throughs -------------------------------

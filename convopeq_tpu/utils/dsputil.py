@@ -28,17 +28,26 @@ def linear_to_db(lin, floor_db=-200.0):
     return jnp.where(lin > 0.0, 20.0 * jnp.log10(jnp.maximum(lin, 1e-30)), floor_db)
 
 
-def equal_power_sin(x):
-    """9th-order Taylor approximation of sin(x*pi/2), no libm.
+def equal_power_sin_poly(x):
+    """The equalPowerSin polynomial itself — 9th-order Taylor of
+    sin(x*pi/2), no libm, no casting: works on NumPy arrays AND traced
+    JAX arrays (the per-sample mix-ramp path evaluates it on device).
+    Single definition so the scalar steady-state gain and the per-sample
+    ramp gain can never desynchronize.
 
-    Ref: equalPowerSin, src/convolver/ConvolverProcessor.Runtime.cpp:26-31 —
-    wet gain = equal_power_sin(mix), dry gain = equal_power_sin(1-mix).
-    Host NumPy (mix is configuration, evaluated at trace time).
+    Ref: equalPowerSin, src/convolver/ConvolverProcessor.Runtime.cpp:26-31.
     """
-    t = np.asarray(x, np.float64) * (np.pi * 0.5)
+    t = x * (np.pi * 0.5)
     t2 = t * t
     return t * (1.0 + t2 * (-1.0 / 6.0 + t2 * (1.0 / 120.0
                 + t2 * (-1.0 / 5040.0 + t2 * (1.0 / 362880.0)))))
+
+
+def equal_power_sin(x):
+    """equalPowerSin on host values (mix is configuration, evaluated at
+    trace time in float64) — wet gain = equal_power_sin(mix), dry gain =
+    equal_power_sin(1-mix)."""
+    return equal_power_sin_poly(np.asarray(x, np.float64))
 
 
 def next_pow2(n: int) -> int:

@@ -360,9 +360,12 @@ uint64_t cq_mpsc_size_approx(void* qv) {
 // ---------------------------------------------------------------------------
 
 struct CqStreamRing {
-    float* data;              // cap_blocks * stride floats
-    std::atomic<uint64_t> w;  // block cursor
-    std::atomic<uint64_t> r;  // block cursor
+    // null-initialized so the create-path's partial-failure cleanup can
+    // free every slot unconditionally (free(nullptr) is a no-op); without
+    // it the slot whose init failed would free an indeterminate pointer
+    float* data = nullptr;    // cap_blocks * stride floats
+    std::atomic<uint64_t> w{0};  // block cursor
+    std::atomic<uint64_t> r{0};  // block cursor
 };
 
 struct CqSched {

@@ -364,3 +364,34 @@ def test_fused_chain_matches_exact_cascade():
     assert not fused_eligible(replace(cfg, soft_clip_enabled=True), p, True)
     assert not fused_eligible(replace(cfg, wet_dry_mix=0.5), p, True)
     assert not fused_eligible(replace(cfg, oversampling_factor=4), p, True)
+
+
+def test_fused_trim_gain_matches_unfused_both_orders():
+    """convolver_input_trim_gain applies only on the EQ->conv order in
+    the staged chain; the fused chain must match in BOTH orders (a
+    conv-first config must not pick up a spurious trim factor)."""
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import (
+        CONVOLVER_THEN_EQ, EQ_THEN_CONVOLVER, ChainConfig, process_chain,
+        process_chain_fused, fused_eligible, prepare_fused_prefilter)
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.nuc import FilterSpec
+    rng = np.random.default_rng(41)
+    sr = 48000.0
+    ir = rng.normal(size=(2, 3000)) * np.exp(-np.arange(3000) / 500.0) * 0.2
+    p = EQParams()
+    p.gains_db[:3] = [3.0, -2.0, 1.0]
+    conv = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=sr),
+                          apply_spectrum_filter=False)
+    x = rng.normal(size=(1, 2, 16384)) * 0.25
+    for order in (CONVOLVER_THEN_EQ, EQ_THEN_CONVOLVER):
+        cfg = ChainConfig(sample_rate=sr, order=order,
+                          convolver_input_trim_gain=0.5)
+        assert fused_eligible(cfg, p, True)
+        pre = prepare_fused_prefilter(cfg, p, eps=1e-10)
+        y_ref = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv))
+        y_fused = np.asarray(process_chain_fused(jnp.asarray(x), cfg,
+                                                 conv, pre))
+        err = np.abs(y_fused - y_ref).max() / np.abs(y_ref).max()
+        assert err < 1e-7, f"order={order}: fused diverges {err:.2e}"

@@ -88,7 +88,7 @@ def test_streaming_hard_switch_when_disabled():
     eng_b = _mk_engine(HC_SHARP)
     eng_b.load_impulse_response(ir, SR)
     sc_b = eng_b.streaming_chain()
-    y_new, _ = sc_b.process(jnp.asarray(x2), st)
+    y_new, _ = sc_b.process(jnp.asarray(x2), st.chain)  # unwrap StreamCarry
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y_new), atol=1e-12)
 
 

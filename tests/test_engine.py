@@ -329,3 +329,59 @@ def test_engine_live_learning_session():
     y, _ = eng2.process_streaming(x)
     grid = np.asarray(y) * 32768.0
     np.testing.assert_allclose(grid, np.round(grid), atol=1e-9)
+
+
+def test_mix_ramp_spans_short_buffers():
+    """A wet/dry mix change whose smoothing window is longer than one
+    process() buffer continues ramping across calls (the LinearRamp is
+    not truncated to a single buffer) and retargets from the value
+    actually reached."""
+    eng = ConvoPeqEngine(SR, 512)
+    eng.set_bypass(eq=True)
+    ir = np.zeros(800)
+    ir[0] = 1.0
+    eng.load_impulse_response(ir, SR)
+    eng.set_mix_smoothing_time(0.1)            # 4800-step window
+    eng.set_wet_dry_mix(0.0)
+    eng.process(jnp.zeros((1, 2, 8192)))       # absorbs the 1.0->0.0 ramp
+    assert eng._pending_mix_ramp is None
+    eng.set_wet_dry_mix(1.0)
+
+    x = jnp.zeros((1, 2, 1024))
+    eng.process(x)                              # 1024 of 4800 steps
+    pend = eng._pending_mix_ramp
+    assert isinstance(pend, tuple)
+    reached, remaining = pend
+    np.testing.assert_allclose(reached, 1024 / 4800, rtol=1e-12)
+    assert remaining == 4800 - 1024
+    eng.process(x)                              # continue the trajectory
+    reached2, remaining2 = eng._pending_mix_ramp
+    np.testing.assert_allclose(reached2, 2048 / 4800, rtol=1e-12)
+    assert remaining2 == 4800 - 2048
+    # mid-ramp retarget starts from the reached value
+    eng.set_wet_dry_mix(0.25)
+    assert eng._pending_mix_ramp == reached2
+    # a buffer >= the window finishes the ramp
+    eng.process(jnp.zeros((1, 2, 8192)))
+    assert eng._pending_mix_ramp is None
+
+
+def test_structural_change_with_mix_change_still_crossfades():
+    """A mix change riding along with a structural change (new IR) must
+    not suppress the structural crossfade — the pure-mix-change skip
+    compares the full mix-stripped chain key, not just the config."""
+    from convopeq_tpu.utils.dsputil import K_OUTPUT_HEADROOM  # noqa: F401
+    rng = np.random.default_rng(9)
+    ir_a = rng.normal(size=1200) * np.exp(-np.arange(1200) / 200.0)
+    ir_b = rng.normal(size=1200) * np.exp(-np.arange(1200) / 200.0)
+    eng = ConvoPeqEngine(SR, 512)
+    eng.set_bypass(eq=True)
+    eng.load_impulse_response(ir_a, SR)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8192)) * 0.25)
+    eng.process(x)                              # publish chain A
+    eng.set_wet_dry_mix(0.7)                    # mix change AND
+    eng.load_impulse_response(ir_b, SR)         # structural change
+    eng.process(x)
+    cats = [e.category for e in eng.telemetry.events]
+    assert "crossfade" in cats, \
+        "structural change was hard-switched because a mix ramp rode along"
