@@ -801,7 +801,7 @@ class ConvoPeqEngine:
                 # never as an XRUN
                 warmed = True
                 sc._xrun_warmed = True
-                self._xrun.record_step(0.0)
+                self._xrun.record_step(0.0, count_xrun=False)
             elif self._xrun.record_step(dt):
                 self.telemetry.push("xrun", duration_us=dt * 1e6,
                                     block=int(k))

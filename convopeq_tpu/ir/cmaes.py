@@ -49,6 +49,12 @@ class CmaEs:
         self.mean = np.zeros(dim)
         self.cov = np.eye(dim)
         self.sigma = 0.12
+        # Starts AT the target, exactly like the reference
+        # (CmaEsOptimizer.h:103, Dynamic.cpp:33/68): the per-generation
+        # min(target, retention+step) ramp therefore only engages when a
+        # caller RAISES the target mid-run — the learner's phase
+        # transitions do (models/learner.py::_apply_phase); a fixed-target
+        # run (e.g. the allpass designer) never ramps, by design.
         self.cov_retention = self.params.cov_retention_target
 
     def set_sigma(self, s: float):

@@ -165,15 +165,30 @@ class AnalyzerView:
         self.peak = np.full(nbins, MIN_DB)
         self.hold = np.zeros(nbins)
         self._frame_dt = (fft_size // 4) / self.rate
+        self._fifo = np.empty(0, np.float64)   # inter-push sample carry
 
     def push(self, x: np.ndarray):
         """Feed (N,) or (C, N) samples; mono mix is analyzed (the
-        reference taps a mono FIFO).  Updates EMA + peak-hold per frame."""
+        reference taps a mono FIFO).  Updates EMA + peak-hold per frame.
+
+        Samples accumulate in a FIFO across pushes: frames are cut only
+        from REAL contiguous audio (a push shorter than fft_size is held
+        until enough arrives — never zero-padded into a mostly-silent
+        frame), and the tail past the last full hop carries over."""
         x = np.asarray(x)
         if x.ndim > 1:
             x = x.mean(axis=0)
-        mags = np.asarray(spectrum_frames(x, self.fft_size,
-                                          self.fft_size // 4))
+        hop = self.fft_size // 4
+        buf = np.concatenate([self._fifo, np.asarray(x, np.float64)])
+        if buf.size < self.fft_size:
+            self._fifo = buf
+            return self
+        nf = (buf.size - self.fft_size) // hop + 1
+        consumed = nf * hop                    # hop-aligned carry
+        self._fifo = buf[consumed:]
+        mags = np.asarray(spectrum_frames(buf[:(nf - 1) * hop
+                                              + self.fft_size],
+                                          self.fft_size, hop))
         for f in range(mags.shape[0]):
             raw = np.where(mags[f] > FFT_DISPLAY_MIN_MAG,
                            20.0 * np.log10(np.maximum(mags[f],

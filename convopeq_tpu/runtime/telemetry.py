@@ -66,6 +66,9 @@ class TelemetryRecorder:
     def push(self, category: str, duration_us: float = 0.0,
              budget_permille: int = 0, **detail):
         self.seq += 1
+        if self.events.maxlen is not None and \
+                len(self.events) == self.events.maxlen:
+            self.dropped += 1      # deque evicts the oldest silently
         self.events.append(DiagEvent(category=category, seq=self.seq,
                                      t_monotonic=time.monotonic(),
                                      duration_us=duration_us,
@@ -125,13 +128,19 @@ class XrunDetector:
         self.steps = 0
         self._last = None
 
-    def record_step(self, duration_s: float):
+    def record_step(self, duration_s: float, count_xrun: bool = True):
+        """count_xrun=False counts the step but can never record an XRUN
+        (and resets the inter-step clock): used for blocks whose wall is
+        known not to be a DSP deadline miss — jit compile warm-up, or the
+        first block after the caller was idle between sessions."""
         now = time.monotonic()
         self.steps += 1
         is_xrun = duration_s > self.threshold_s
         if self._last is not None and (now - self._last) > self.threshold_s:
             is_xrun = True
         self._last = now
+        if not count_xrun:
+            return False
         if is_xrun:
             self.xruns += 1
         return is_xrun

@@ -75,3 +75,32 @@ def test_adaptive_timer_rates():
     assert adaptive_timer_hz(True, True) == 60
     assert adaptive_timer_hz(False, True) == 15
     assert adaptive_timer_hz(True, False) == 5
+
+
+def test_analyzer_view_fifo_across_pushes():
+    """Blocks shorter than fft_size accumulate in the FIFO (never
+    analyzed as mostly-zero frames), and block-split feeding equals
+    one-shot feeding of the same contiguous signal."""
+    import numpy as np
+    from convopeq_tpu.models.analyzer_view import AnalyzerView
+
+    sr = 48000.0
+    n = 4096 * 3
+    t = np.arange(n) / sr
+    x = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+
+    one = AnalyzerView(sr)
+    one.push(x)
+
+    split = AnalyzerView(sr)
+    for k in range(0, n, 1024):              # callback-sized blocks
+        split.push(x[k:k + 1024])
+    np.testing.assert_allclose(split.smoothed, one.smoothed, atol=1e-9)
+    np.testing.assert_allclose(split.peak, one.peak, atol=1e-9)
+
+    # first short push holds samples, produces no frame
+    held = AnalyzerView(sr)
+    before = held.smoothed.copy()
+    held.push(x[:1024])
+    np.testing.assert_array_equal(held.smoothed, before)
+    assert held._fifo.size == 1024

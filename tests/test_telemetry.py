@@ -61,3 +61,24 @@ def test_policy_ladder():
     # steps back down one level per healthy evaluation
     assert pol.evaluate(Health.HEALTHY) == PolicyLevel.SAFE
     assert pol.evaluate(Health.HEALTHY) == PolicyLevel.RESTORE
+
+
+def test_recorder_counts_drops():
+    from convopeq_tpu.runtime.telemetry import TelemetryRecorder
+    rec = TelemetryRecorder(capacity=8)
+    for i in range(20):
+        rec.push("evt", duration_us=1.0)
+    assert len(rec.events) == 8
+    assert rec.dropped == 12
+
+
+def test_xrun_warmup_exemption():
+    import time
+    from convopeq_tpu.runtime.telemetry import XrunDetector
+    det = XrunDetector(48000.0, 512)           # 10.67 ms budget
+    det.record_step(1.0)                        # huge first step...
+    assert det.xruns == 1 and det.steps == 1
+    time.sleep(0.05)                            # long inter-step gap
+    assert det.record_step(0.0, count_xrun=False) is False
+    assert det.xruns == 1 and det.steps == 2    # counted, not an xrun
+    assert det.record_step(0.0) is False        # clock was reset
