@@ -41,7 +41,7 @@ from ..ops.oversample import (
 from ..ops.softclip import soft_clip, soft_clip_params
 from ..utils.dsputil import K_OUTPUT_HEADROOM, next_pow2
 from .convolver import StereoConvolverState, convolver_process
-from .eq import EQParams, eq_process_bands, agc_apply
+from .eq import EQParams, eq_process
 from .gain_planner import CONVOLVER_THEN_EQ, EQ_THEN_CONVOLVER
 from .output_filter import output_filter_process, HC_NATURAL, LC_NATURAL
 
@@ -128,13 +128,9 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
     eq_active = (not cfg.eq_bypassed) and eq_params is not None
 
     def run_eq(sig):
-        pre = sig
-        out = eq_process_bands(sig, eq_params, proc_rate,
-                               method=cfg.eq_method)
-        if eq_params.agc_enabled:
-            out = agc_apply(pre, out, proc_rate,
-                            cfg.agc_block_size * os_factor)
-        return out
+        return eq_process(sig, eq_params, proc_rate,
+                          block_size=cfg.agc_block_size * os_factor,
+                          method=cfg.eq_method)
 
     if cfg.order == CONVOLVER_THEN_EQ:
         if conv_active:

@@ -291,6 +291,10 @@ def eq_process_bands_fft(x, params: EQParams, sample_rate, eps=1e-10):
     n = x.shape[-1]
     from ..utils.dsputil import next_pow2
     pad = _eq_ring_tail_samples(params, sample_rate, eps)
+    if pad == 0:
+        # no active bands: the combined 2x2 response is the identity
+        # (the blocked path below would otherwise build a 0-tap IR)
+        return x
     if (x.dtype != jnp.float64 and jax.default_backend() != "cpu"
             and n >= 4 * pad):
         # long buffers on TPU: blocked overlap-save convolution with the

@@ -134,13 +134,17 @@ def loudness_integrated(x, sample_rate: float):
 
 
 def _delay(x, k):
-    if k <= 0:
+    if k == 0:
+        return x
+    if k < 0:
         return _advance(x, -k)
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k, 0)])[..., :x.shape[-1]]
 
 
 def _advance(x, k):
-    if k <= 0:
+    if k == 0:
+        return x
+    if k < 0:
         return _delay(x, -k)
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k)])[..., k:]
 

@@ -316,8 +316,14 @@ def nuc_convolve(x, state: NUCState):
                 [(lp.offset, 0)]))[..., :n]
         y = y + (lp.gain * yl if lp.gain != 1.0 else yl)
     if state.direct_ir is not None:
+        # <=32-tap head as a shift-accumulate (fuses to one elementwise
+        # pass; stacking K shifted copies would materialize K times the
+        # signal).  Taps stay traced: the NUC state is a jit argument.
         K = state.direct_ir.shape[0]
+        h = state.direct_ir
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(K - 1, 0)])
-        frames = jnp.stack([xp[..., i:i + n] for i in range(K)], axis=-1)
-        y = y + jnp.sum(frames * state.direct_ir[::-1], axis=-1)
+        yd = h[0] * x
+        for j in range(1, K):
+            yd = yd + h[j] * xp[..., K - 1 - j:K - 1 - j + n]
+        y = y + yd
     return y

@@ -85,6 +85,15 @@ def irfft(y, n=None, axis=-1):
         x = jnp.fft.irfft(y, n=n, axis=-1)
     else:
         rdt = jnp.float64 if y.dtype == jnp.complex128 else jnp.float32
+        csize = n // 2 + 1
+        if y.shape[-1] != csize:
+            # match numpy irfft semantics: zero-pad or truncate the
+            # spectrum to the bin count implied by n
+            if y.shape[-1] < csize:
+                y = jnp.pad(y, [(0, 0)] * (y.ndim - 1)
+                            + [(0, csize - y.shape[-1])])
+            else:
+                y = y[..., :csize]
         c, s = _irdft_matrices(n)
         x = (jnp.real(y) @ jnp.asarray(c.T, rdt)
              - jnp.imag(y) @ jnp.asarray(s.T, rdt))

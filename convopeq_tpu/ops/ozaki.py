@@ -131,9 +131,10 @@ def preslice(pattern: str, A, s: int, q: int = Q_BITS):
     both a cos and a sin matrix)."""
     _, caxis, _, _ = _PATTERNS[pattern]
     k = A.shape[caxis]
-    if k > MAX_EXACT_K:
+    max_k = 1 << max(24 - 2 * q, 0)
+    if k > max_k:
         raise ValueError(f"contraction {k} exceeds the q={q} exactness "
-                         f"bound {MAX_EXACT_K}")
+                         f"bound {max_k}")
     return slice_f64(A, s, scale_axis=caxis, q=q)
 
 

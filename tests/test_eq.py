@@ -188,3 +188,16 @@ def test_upper_bound_dominates_measured():
     m2 = estimate_max_gain_db(p2, 48000.0)
     u2, _ = estimate_upper_bound_db(p2, 48000.0)
     assert m2 - 0.05 <= u2 <= m2 + 1.5
+
+
+def test_fft_path_identity_when_no_active_bands():
+    """Flat EQ (no active bands) must pass through unchanged on every
+    backend: the blocked TPU path would otherwise build a 0-tap IR
+    (regression for the pad==0 -> _eq_fft_blocked(tail=0) route)."""
+    from convopeq_tpu.models.eq import (eq_process_bands_fft,
+                                        _eq_ring_tail_samples)
+    params = EQParams()          # default: all peaking, 0 dB -> inactive
+    assert _eq_ring_tail_samples(params, SR) == 0
+    x = jnp.asarray(RNG.normal(size=(2, 4096)).astype(np.float32))
+    y = eq_process_bands_fft(x, params, SR)
+    assert np.array_equal(np.asarray(y), np.asarray(x))

@@ -135,3 +135,16 @@ def test_spectrum_smoothed_converges():
 
 def test_lufs_from_power():
     assert abs(float(lufs_from_power(jnp.asarray(1.0))) - (-0.691)) < 1e-9
+
+
+def test_true_peak_small_taps_no_recursion():
+    """taps<=7 gives stage center delays of 0/1 — regression for the
+    _delay(x,0)/_advance(x,0) mutual recursion."""
+    from convopeq_tpu.models.metering import true_peak
+    n = 2048
+    t = np.arange(n) / SR
+    x = 0.5 * np.sin(2 * np.pi * 997.0 * t)
+    for taps in (3, 5, 7, 15):
+        tp = float(true_peak(jnp.asarray(x), taps=taps))
+        assert np.isfinite(tp)
+        assert tp >= 0.45
