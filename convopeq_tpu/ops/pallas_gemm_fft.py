@@ -420,63 +420,86 @@ def irfft_valid_two_stage_pallas(Yr, Yi, p: int, interpret: bool = False):
 # grid bin (H differs per bin), so it is VPU work no matter how it is
 # phrased; what distinguishes implementations is HBM traffic and VPU
 # efficiency.  XLA's grouped-conv form (partitioned_conv._causal_frame_mac)
-# measured 25-30 ms at the headline shape — ~2x its VPU flop bound — and
 # needs X/H materialized as complex (two extra full passes to build).
-# This kernel streams X through once (one HBM read, one Y write), keeps a
-# per-bin-tile FDL ring of the last P frame spectra in VMEM scratch
-# (frames iterate innermost in the grid, so the ring persists across
-# steps; it is zeroed at frame 0 — warmup slots stay zero, which IS the
-# causal boundary, same argument as runtime/streaming's FDL ring), and
-# runs the complex multiply-accumulate as split-real FMAs.
+# This kernel streams X through once (one HBM read, one Y write) and runs
+# the complex multiply-accumulate as split-real FMAs over FULL (K, tb)
+# frame columns — every VPU op is 8-sublane wide, unlike a per-frame FDL
+# ring whose (1, tb) row ops leave 7/8 of the VPU idle.
+#
+# Alignment: Mosaic requires multi-row dynamic-slice starts to be
+# provably 8-aligned, and the causal shift  X[f-j]  is not.  Standard
+# fix: 8 phase copies of the frame column in VMEM scratch, copy b
+# holding X shifted down by b rows (xp[b, P8 + b + f] = X[f], zeros
+# elsewhere).  For j = 8a + b the read  xp[b, P8 - 8a : + K]  has a
+# static 8-aligned row start (a is unrolled; only the phase b and the
+# single-row H loads are dynamic).  The copies cost 16 VMEM passes per
+# cell once; the MAC loop does ~6.P passes, so the overhead is ~4%.
 
-_MAC_RING_BUDGET = 6 * 2 ** 20   # ring + H VMEM bytes per bin tile
+_MAC_VMEM_BUDGET = 10 * 2 ** 20   # phase copies + x/y/h blocks per cell
+
+
+def _round8(x: int) -> int:
+    return (x + 7) & ~7
 
 
 def _mac_tiles(K: int, g: int, P: int) -> tuple[int, int]:
-    """(frame tile, bin tile): frame tile divides K; the bin tile is the
-    largest 128-multiple divisor of the flattened grid axis whose ring +
-    H tiles fit the VMEM budget (Mosaic needs the lane-dim block to be a
-    multiple of 128, the sublane dims of 8 — the grid's K2 axis is odd,
-    so tiling happens on the flat axis)."""
-    tf = next((t for t in (8, 4, 2, 1) if K % t == 0), 1)
+    """(frame tile, bin tile) — frame tile is the whole column K; the bin
+    tile is the largest 128-multiple divisor of the flattened grid axis
+    whose phase copies + streamed x/y/h blocks fit the VMEM budget."""
+    P8 = _round8(max(P - 1, 1))
+    rows = P8 + 8 + K
     tb = 128 if g % 128 == 0 else g
     for d in range(128, g + 1, 128):
-        if g % d == 0 and P * d * 16 <= _MAC_RING_BUDGET:
-            tb = max(tb, d)
-    return tf, tb
+        if g % d == 0:
+            need = (8 * rows * 2 + 6 * K + 2 * P) * d * 4
+            if need <= _MAC_VMEM_BUDGET:
+                tb = max(tb, d)
+    return K, tb
 
 
 def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
-                ring_r, ring_i, *, tf: int, P: int):
-    ft = pl.program_id(2)
+                xpr, xpi, *, K: int, P: int):
+    P8 = _round8(max(P - 1, 1))
+    tb = xpr.shape[2]
 
-    @pl.when(ft == 0)
-    def _():
-        ring_r[:] = jnp.zeros_like(ring_r)
-        ring_i[:] = jnp.zeros_like(ring_i)
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    zhead = jnp.zeros((P8, tb), jnp.float32)
+    for b in range(8):
+        xpr[b, pl.ds(0, P8)] = zhead
+        xpi[b, pl.ds(0, P8)] = zhead
+        # aligned store of the b-shifted frame column: rows [P8, P8+K+8)
+        tail = jnp.zeros((8 - b, tb), jnp.float32)
+        if b == 0:
+            shr = jnp.concatenate([xr, tail], axis=0)
+            shi = jnp.concatenate([xi, tail], axis=0)
+        else:
+            head = jnp.zeros((b, tb), jnp.float32)
+            shr = jnp.concatenate([head, xr, tail], axis=0)
+            shi = jnp.concatenate([head, xi, tail], axis=0)
+        xpr[b, pl.ds(P8, K + 8)] = shr
+        xpi[b, pl.ds(P8, K + 8)] = shi
 
-    Pc = jnp.int32(P)
-    for t in range(tf):
-        f = ft * tf + t
-        slot = jax.lax.rem(f, Pc)
-        xr = xr_ref[0, pl.ds(t, 1)]                # (1, tb)
-        xi = xi_ref[0, pl.ds(t, 1)]
-        ring_r[pl.ds(slot, 1)] = xr
-        ring_i[pl.ds(slot, 1)] = xi
+    zf = jnp.zeros((K, tb), jnp.float32)
+    yr_ref[0] = zf
+    yi_ref[0] = zf
 
-        def body(j, acc):
-            ar, ai = acc
-            q = jax.lax.rem(f - j + Pc, Pc)
-            rr = ring_r[pl.ds(q, 1)]
-            ri = ring_i[pl.ds(q, 1)]
+    na = (P + 7) // 8
+    for a in range(na):                     # static: aligned row starts
+        start = P8 - 8 * a
+        nb = min(8, P - 8 * a)              # j = 8a + b < P
+
+        def body(b, _, a=a, start=start):
+            j = 8 * a + b
+            ar = xpr[b, pl.ds(start, K)]
+            ai = xpi[b, pl.ds(start, K)]
             hr = hr_ref[pl.ds(j, 1)]
             hi = hi_ref[pl.ds(j, 1)]
-            return (ar + rr * hr - ri * hi, ai + rr * hi + ri * hr)
+            yr_ref[0] += ar * hr - ai * hi
+            yi_ref[0] += ar * hi + ai * hr
+            return 0
 
-        zero = jnp.zeros_like(xr)
-        yr, yi = jax.lax.fori_loop(0, P, body, (zero, zero))
-        yr_ref[0, pl.ds(t, 1)] = yr
-        yi_ref[0, pl.ds(t, 1)] = yi
+        jax.lax.fori_loop(0, nb, body, 0)
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -486,22 +509,24 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
     g = shape[-1]
     P = Gr.shape[0]
     C = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
-    tf, tb = _mac_tiles(K, g, P)
+    _, tb = _mac_tiles(K, g, P)
+    P8 = _round8(max(P - 1, 1))
+    rows = P8 + 8 + K
 
     xr = Xr.reshape(C, K, g)
     xi = Xi.reshape(C, K, g)
 
-    xspec = pl.BlockSpec((1, tf, tb), lambda c, bt, ft: (c, ft, bt),
+    xspec = pl.BlockSpec((1, K, tb), lambda c, bt: (c, 0, bt),
                          memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec((P, tb), lambda c, bt, ft: (0, bt),
+    hspec = pl.BlockSpec((P, tb), lambda c, bt: (0, bt),
                          memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
-        partial(_mac_kernel, tf=tf, P=P),
-        grid=(C, g // tb, K // tf),
+        partial(_mac_kernel, K=K, P=P),
+        grid=(C, g // tb),
         in_specs=[xspec, xspec, hspec, hspec],
         out_specs=[xspec, xspec],
         out_shape=[jax.ShapeDtypeStruct((C, K, g), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((P, tb), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((8, rows, tb), jnp.float32)] * 2,
         interpret=interpret,
     )(xr, xi, Gr, Gi)
     return yr.reshape(shape), yi.reshape(shape)

@@ -335,11 +335,19 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
                                       irfft_valid_two_stage_pallas,
                                       causal_mac_grid_pallas,
                                       spectra_to_grid)
+        # the Pallas kernels tile the frame axis in 8s (Mosaic sublane
+        # constraint); pad K up with zero frames — causality makes the
+        # kept rows exact, and the tail is trimmed to n below anyway
+        kpad8 = (-k) % 8
+        if kpad8:
+            frames = jnp.pad(
+                frames, [(0, 0)] * (frames.ndim - 2) + [(0, kpad8), (0, 0)])
         if os.environ.get("CONVOPEQ_PALLAS_FRAMES_FWD", "1") != "0":
             # raw frames in: the overlap-save prev half is carried in
             # VMEM scratch by the kernel — no materialized 2p osa tensor
             Xr, Xi = rfft_frames_two_stage_pallas(frames, p)
         else:
+            # build_osa() closes over the (already padded) frames
             Xr, Xi = rfft_two_stage_pallas(build_osa(), p)
         Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
         if os.environ.get("CONVOPEQ_PALLAS_MAC", "1") != "0":
@@ -352,6 +360,8 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
                                   jax.lax.complex(Gr, Gi))
             Yr, Yi = jnp.real(Y), jnp.imag(Y)
         y = irfft_valid_two_stage_pallas(Yr, Yi, p)
+        if kpad8:
+            y = y[..., :k, :]                    # drop the pad frames
     elif frame_mac == "rdft":
         Xr, Xi = _rfft_matmul(build_osa(), p)
         Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))
