@@ -442,19 +442,28 @@ def _round8(x: int) -> int:
     return (x + 7) & ~7
 
 
-def _mac_tiles(K: int, g: int, P: int) -> tuple[int, int]:
-    """(frame tile, bin tile) — frame tile is the whole column K; the bin
-    tile is the largest 128-multiple divisor of the flattened grid axis
-    whose phase copies + streamed x/y/h blocks fit the VMEM budget."""
+def _mac_tile(K: int, g: int, P: int) -> int | None:
+    """Bin tile: the largest 128-multiple divisor of the flattened grid
+    axis (or the full axis when it has no such divisor) whose phase
+    copies + streamed x/y/h blocks fit the VMEM budget.  None when no
+    tile fits — the caller must fall back to the XLA MAC (e.g. small-p
+    long-signal shapes, where the whole K-column scratch is too tall)."""
     P8 = _round8(max(P - 1, 1))
     rows = P8 + 8 + K
-    tb = 128 if g % 128 == 0 else g
-    for d in range(128, g + 1, 128):
-        if g % d == 0:
-            need = (8 * rows * 2 + 6 * K + 2 * P) * d * 4
-            if need <= _MAC_VMEM_BUDGET:
-                tb = max(tb, d)
-    return K, tb
+
+    def need(d: int) -> int:
+        return (8 * rows * 2 + 6 * K + 2 * P) * d * 4
+
+    cands = [d for d in range(128, g + 1, 128)
+             if g % d == 0 and need(d) <= _MAC_VMEM_BUDGET]
+    if g % 128 and need(g) <= _MAC_VMEM_BUDGET:
+        cands.append(g)
+    return max(cands) if cands else None
+
+
+def causal_mac_grid_supported(K: int, g: int, P: int) -> bool:
+    """Whether the phase-copy MAC kernel can run this shape in VMEM."""
+    return _mac_tile(_round8(K), g, P) is not None
 
 
 def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
@@ -509,7 +518,11 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
     g = shape[-1]
     P = Gr.shape[0]
     C = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
-    _, tb = _mac_tiles(K, g, P)
+    tb = _mac_tile(K, g, P)
+    if tb is None:
+        raise ValueError(
+            f"causal MAC shape (K={K}, g={g}, P={P}) exceeds the VMEM "
+            "budget — gate with causal_mac_grid_supported()")
     P8 = _round8(max(P - 1, 1))
     rows = P8 + 8 + K
 

@@ -334,6 +334,8 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
                                       rfft_two_stage_pallas,
                                       irfft_valid_two_stage_pallas,
                                       causal_mac_grid_pallas,
+                                      causal_mac_grid_supported,
+                                      grid_bins,
                                       spectra_to_grid)
         # the Pallas kernels tile the frame axis in 8s (Mosaic sublane
         # constraint); pad K up with zero frames — causality makes the
@@ -350,8 +352,10 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             # build_osa() closes over the (already padded) frames
             Xr, Xi = rfft_two_stage_pallas(build_osa(), p)
         Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
-        if os.environ.get("CONVOPEQ_PALLAS_MAC", "1") != "0":
-            # VMEM-ring MAC kernel: one HBM read of X + one Y write and
+        mac_ok = causal_mac_grid_supported(
+            k + kpad8, grid_bins(p)[2], H.shape[0])
+        if mac_ok and os.environ.get("CONVOPEQ_PALLAS_MAC", "1") != "0":
+            # phase-copy MAC kernel: one HBM read of X + one Y write and
             # no complex materialization (the grouped-conv form costs two
             # extra full passes just building complex X/H)
             Yr, Yi = causal_mac_grid_pallas(Xr, Xi, Gr, Gi, p)
