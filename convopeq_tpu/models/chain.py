@@ -376,12 +376,19 @@ def throughput_partition_size(ir_len: int, f64: bool = False) -> int:
     (single-layer f32 tracks the 3-layer f32 output at ~4e-6 relative,
     i.e. below the f32 chain floor).
 
-    The dd/f64 path has a different optimum: its complex-free shift-MAC
-    costs O(num_parts) full passes, so larger partitions win (measured
-    dd-folded 1M-tap: p16384 226x / p32768 250x / p65536 **271x** /
-    p131072 266x) — hence the 4x larger cap for f64."""
+    The dd/f64 path has its own optimum.  With the fused dd Pallas
+    pipeline (ops/pallas_dd_fft.py) the partition must fit the kernels'
+    VMEM plan — p=32768 does (and balances transform flops against the
+    dd MAC's per-partition VPU cost); without it (CONVOPEQ_PALLAS_DD=0
+    or unsupported shape) the all-XLA shift-MAC costs O(num_parts) full
+    passes, so the largest partition wins (measured dd-folded 1M-tap:
+    p16384 226x / p32768 250x / p65536 **271x** / p131072 266x)."""
     p = next_pow2(max(1024, ir_len // 64))
-    cap = 65536 if f64 else 16384
+    if f64:
+        from ..ops.pallas_dd_fft import dd_pallas_enabled
+        cap = 32768 if dd_pallas_enabled() else 65536
+    else:
+        cap = 16384
     return min(p, cap)
 
 

@@ -447,12 +447,26 @@ def _mac_tile(K: int, g: int, P: int) -> int | None:
     axis (or the full axis when it has no such divisor) whose phase
     copies + streamed x/y/h blocks fit the VMEM budget.  None when no
     tile fits — the caller must fall back to the XLA MAC (e.g. small-p
-    long-signal shapes, where the whole K-column scratch is too tall)."""
+    long-signal shapes, where the whole K-column scratch is too tall).
+
+    K convention: callers must pass the 8-ROUNDED frame count (the gate
+    `causal_mac_grid_supported` rounds; `_causal_mac_grid_impl` asserts
+    its K is already a multiple of 8 — the conv pipeline pads frames).
+
+    The estimate counts phase-copy scratch (x2 planes), x/y streamed
+    blocks (2 planes each, x2 for Pallas double-buffering) and H blocks
+    (x2 double-buffered); the in-kernel concatenate temporaries of the
+    copy build (~3 (K+8, tb) arrays) ride in the deliberate headroom
+    between the budget and real VMEM (~16 MiB)."""
     P8 = _round8(max(P - 1, 1))
     rows = P8 + 8 + K
 
     def need(d: int) -> int:
-        return (8 * rows * 2 + 6 * K + 2 * P) * d * 4
+        return (8 * rows * 2        # phase-copy scratch, re+im planes
+                + 4 * 2 * K         # x in + y out blocks, double-buffered
+                + 2 * 2 * P         # h blocks, double-buffered
+                + 3 * (K + 8)       # copy-build concat temporaries
+                ) * d * 4
 
     cands = [d for d in range(128, g + 1, 128)
              if g % d == 0 and need(d) <= _MAC_VMEM_BUDGET]
@@ -518,6 +532,9 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
     g = shape[-1]
     P = Gr.shape[0]
     C = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    if K % 8:
+        raise ValueError(f"frame count K={K} must be a multiple of 8 "
+                         "(the conv pipeline pads; the gate rounds)")
     tb = _mac_tile(K, g, P)
     if tb is None:
         raise ValueError(
@@ -552,8 +569,27 @@ def causal_mac_grid_pallas(Xr, Xi, Gr, Gi, p: int, interpret: bool = False):
     Gr/Gi: (P, gbins) partition spectra from `spectra_to_grid`.
     Returns (Yr, Yi) with Y[..., f, :] = sum_j X[..., f-j, :] * H[j, :]
     (complex semantics on split planes; zero for f-j < 0).
+
+    The kernel tiles the frame axis in 8s (Mosaic sublane tiling), so K
+    is zero-padded up to a multiple of 8 here and trimmed after —
+    causality makes the kept rows exact.  `causal_mac_grid_supported`
+    gates on the same rounded K (the VMEM fit is evaluated at _round8(K)
+    in both places — ADVICE r2 contract).  The conv pipeline pre-pads,
+    making this a no-op there.
     """
-    return _causal_mac_grid_impl(
-        jnp.asarray(Xr, jnp.float32), jnp.asarray(Xi, jnp.float32),
+    Xr = jnp.asarray(Xr, jnp.float32)
+    Xi = jnp.asarray(Xi, jnp.float32)
+    K = Xr.shape[-2]
+    kpad = _round8(K) - K
+    if kpad:
+        pad = [(0, 0)] * (Xr.ndim - 2) + [(0, kpad), (0, 0)]
+        Xr = jnp.pad(Xr, pad)
+        Xi = jnp.pad(Xi, pad)
+    Yr, Yi = _causal_mac_grid_impl(
+        Xr, Xi,
         jnp.asarray(Gr, jnp.float32), jnp.asarray(Gi, jnp.float32),
         p, interpret)
+    if kpad:
+        Yr = Yr[..., :K, :]
+        Yi = Yi[..., :K, :]
+    return Yr, Yi

@@ -291,6 +291,18 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         # split re/im spectra (the dd/f64 accelerator mode: no complex128
         # on TPU) — all-GEMM/elementwise, complex-free pipeline
         Hr, Hi = Hparts
+        if p > RDFT_MATMUL_MAX_P:
+            # fused dd Pallas pipeline (double-f32 planes, Ozaki-sliced
+            # MXU GEMM stages + dd phase-copy MAC in VMEM): measured
+            # ~1.4e-11 conv RMS vs f64 — the path that takes the <=1e-9
+            # fidelity mode past the >=1000x RTF bar (the all-XLA form
+            # below is bounded by HBM-materialized slice products)
+            from .pallas_dd_fft import (dd_pallas_enabled,
+                                        dd_pipeline_supported,
+                                        uniform_partitioned_conv_dd)
+            if dd_pallas_enabled() and dd_pipeline_supported(
+                    p, n, Hr.shape[0]):
+                return uniform_partitioned_conv_dd(x, Hr, Hi, p)
         osa = build_osa()
         if p <= RDFT_MATMUL_MAX_P:
             Xr, Xi = _rfft_matmul(osa, p)

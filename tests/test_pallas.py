@@ -226,3 +226,42 @@ def test_uniform_partitioned_conv_pallas_path():
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=6e-5 * float(jnp.abs(y_ref).max()),
         err_msg="pallas conv path diverges from the FFT path")
+
+
+def test_uniform_partitioned_conv_pallas_mac_fallback(monkeypatch):
+    """The mac_ok=False branch (Pallas transforms + XLA grid MAC, with
+    the K frame padding/trim) matches the frame-FFT reference path.
+    Covers the fallback uniform_partitioned_conv takes when
+    causal_mac_grid_supported rejects the shape (ADVICE r2: previously
+    untested)."""
+    from convopeq_tpu.ops import partitioned_conv as pc
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(9)
+    p = 512
+    x = jnp.asarray(rng.normal(size=(2, 6000)), jnp.float32)
+    h = rng.normal(size=2 * p + 77) * np.exp(-np.arange(2 * p + 77) / 600.0)
+    H = pc.partition_spectra(jnp.asarray(h, jnp.float32), p,
+                             dtype=jnp.float32)
+    y_ref = pc.uniform_partitioned_conv(x, H, p, frame_mac="fft")
+
+    orig_f = pg.rfft_frames_two_stage_pallas
+    orig_i = pg.irfft_valid_two_stage_pallas
+    monkeypatch.setattr(pg, "rfft_frames_two_stage_pallas",
+                        lambda fr, pp, interpret=False: orig_f(fr, pp, True))
+    monkeypatch.setattr(pg, "irfft_valid_two_stage_pallas",
+                        lambda Yr, Yi, pp, interpret=False: orig_i(
+                            Yr, Yi, pp, True))
+    # force the gate shut so the XLA grid-MAC fallback path runs
+    monkeypatch.setattr(pg, "causal_mac_grid_supported",
+                        lambda K, g, P: False)
+    mac_calls = []
+    orig_m = pg.causal_mac_grid_pallas
+    monkeypatch.setattr(pg, "causal_mac_grid_pallas",
+                        lambda *a, **k: mac_calls.append(1) or orig_m(*a, **k))
+    y = pc.uniform_partitioned_conv(x, H, p, frame_mac="pallas")
+    assert not mac_calls, "gate did not route to the XLA MAC fallback"
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=6e-5 * float(jnp.abs(y_ref).max()),
+        err_msg="mac fallback path diverges from the FFT path")
