@@ -638,11 +638,11 @@ def _dd_mac_kernel(xrh_ref, xrl_ref, xih_ref, xil_ref,
             _acc_dd(yih_ref, yil_ref, p3, e3 + (arh * hil + arl * hih))
             p4, e4 = _two_prod(aih, ai1, ai2, hrh, hr1, hr2)
             _acc_dd(yih_ref, yil_ref, p4, e4 + (aih * hrl + ail * hrh))
-            return 0
+            return jnp.int32(0)
 
-        # i32 bounds: under x64 plain-int bounds make the loop index i64,
-        # which Mosaic cannot legalize
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, 0)
+        # i32 bounds AND carry: under x64 plain-int literals make the
+        # loop index/carry i64, which Mosaic cannot legalize
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, jnp.int32(0))
 
 
 def _causal_mac_dd_raw(Xrh, Xrl, Xih, Xil, Grh, Grl, Gih, Gil,

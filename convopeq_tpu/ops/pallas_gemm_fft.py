@@ -513,16 +513,21 @@ def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
         nb = min(8, P - 8 * a)              # j = 8a + b < P
 
         def body(b, _, a=a, start=start):
-            j = 8 * a + b
+            # i32 arithmetic throughout: under x64 a bare `8 * a + b`
+            # mixes an i64 literal with the i32 loop index, which Mosaic
+            # rejects ('arith.addi' operand type mismatch) — x64 is live
+            # here when the f64-emulated chain drives the f32 kernels
+            # (tools/tpu_parity.py)
+            j = jnp.int32(8 * a) + b
             ar = xpr[b, pl.ds(start, K)]
             ai = xpi[b, pl.ds(start, K)]
             hr = hr_ref[pl.ds(j, 1)]
             hi = hi_ref[pl.ds(j, 1)]
             yr_ref[0] += ar * hr - ai * hi
             yi_ref[0] += ar * hi + ai * hr
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, nb, body, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnums=(4, 5))

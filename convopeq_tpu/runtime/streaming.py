@@ -81,16 +81,27 @@ class StreamLayerState:
     acc: jnp.ndarray        # (..., P) input accumulation buffer
     ring: jnp.ndarray       # (..., ring_len) aligned output ring (tail)
     step: jnp.ndarray       # () int32 block counter
+    par_r: jnp.ndarray      # (..., P+1) amortized partial MAC (j >= 1
+    par_i: jnp.ndarray      #   terms of the NEXT completing frame);
+    #                         (..., 0) for L0, which fires every block
 
 
 jax.tree_util.register_pytree_node(
     StreamLayerState,
-    lambda s: ((s.prev, s.fdl_r, s.fdl_i, s.acc, s.ring, s.step), None),
+    lambda s: ((s.prev, s.fdl_r, s.fdl_i, s.acc, s.ring, s.step,
+                s.par_r, s.par_i), None),
     lambda _, c: StreamLayerState(*c))
 
 
-def _layer_init(batch, lp, block_size, rdt, cdt=None):
+def _layer_init(batch, lp, block_size, rdt, sdt=None):
+    """sdt: FDL spectra storage dtype (default rdt).  f16 halves the
+    dominant per-stream state (~16 MB -> ~8 MB at 1M taps) with a
+    10-bit-mantissa floor (~-66 dB per stored frame, at the f32 chain
+    floor) — the serving-scale tier (SURVEY.md §2.6 thousands-of-streams
+    premise); the MAC always accumulates in rdt."""
+    sdt = rdt if sdt is None else sdt
     ring_len = 1
+    ratio = lp.part_size // block_size
     if lp.offset > 0:
         if lp.offset < lp.part_size:
             raise ValueError(
@@ -98,19 +109,25 @@ def _layer_init(batch, lp, block_size, rdt, cdt=None):
                 f"part_size ({lp.part_size}); the reference drops these "
                 "contributions — use the offline path for this config")
         ring_len = int(2 ** int(np.ceil(np.log2(lp.offset + 2 * lp.part_size))))
+    nbins = lp.part_size + 1 if ratio > 1 else 0
     return StreamLayerState(
         prev=jnp.zeros(batch + (lp.part_size,), rdt),
-        fdl_r=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), rdt),
-        fdl_i=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), rdt),
+        fdl_r=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), sdt),
+        fdl_i=jnp.zeros(batch + (lp.num_parts, lp.part_size + 1), sdt),
         acc=jnp.zeros(batch + (lp.part_size,), rdt),
         ring=jnp.zeros(batch + (ring_len,), rdt),
         step=jnp.zeros((), jnp.int32),
+        par_r=jnp.zeros(batch + (nbins,), rdt),
+        par_i=jnp.zeros(batch + (nbins,), rdt),
     )
 
 
 def _fdl_mac_ri(fr, fi, Hr, Hi):
     """Y = sum_p fdl[p] * H[p], split re/im (the accumulateSplitComplex
-    loop, MKLNonUniformConvolver.cpp:167-182)."""
+    loop, MKLNonUniformConvolver.cpp:167-182).  FDL planes may be stored
+    narrower than H (f16 serving tier); accumulate in H's dtype."""
+    fr = fr.astype(Hr.dtype)
+    fi = fi.astype(Hr.dtype)
     Yr = jnp.sum(fr * Hr - fi * Hi, axis=-2)
     Yi = jnp.sum(fr * Hi + fi * Hr, axis=-2)
     return Yr, Yi
@@ -131,10 +148,10 @@ def _fdl_ring_update_mac(fdl_r, fdl_i, Xr, Xi, Hr, Hi, k):
     """
     num_parts = fdl_r.shape[-2]
     w = jnp.mod(k, num_parts)
-    fr = jax.lax.dynamic_update_slice_in_dim(fdl_r, Xr[..., None, :], w,
-                                             axis=-2)
-    fi = jax.lax.dynamic_update_slice_in_dim(fdl_i, Xi[..., None, :], w,
-                                             axis=-2)
+    fr = jax.lax.dynamic_update_slice_in_dim(
+        fdl_r, Xr[..., None, :].astype(fdl_r.dtype), w, axis=-2)
+    fi = jax.lax.dynamic_update_slice_in_dim(
+        fdl_i, Xi[..., None, :].astype(fdl_i.dtype), w, axis=-2)
     idx = jnp.mod(k - jnp.arange(num_parts), num_parts)
     Yr, Yi = _fdl_mac_ri(fr, fi, Hr[..., idx, :], Hi[..., idx, :])
     return fr, fi, Yr, Yi
@@ -165,13 +182,45 @@ def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
         y = irfft_half(Yr, Yi)
         return StreamLayerState(prev=block, fdl_r=fr, fdl_i=fi,
                                 acc=state.acc, ring=state.ring,
-                                step=state.step + 1), gain * y
+                                step=state.step + 1,
+                                par_r=state.par_r, par_i=state.par_i), \
+            gain * y
 
     slot = jnp.mod(state.step, ratio)
     acc = jax.lax.dynamic_update_slice_in_dim(
         state.acc, block, slot * block_size, axis=-1)
     frame_done = jnp.equal(slot, ratio - 1)
     ring_len = state.ring.shape[-1]
+    num_parts = lp.num_parts
+
+    # ----- amortized tail MAC (the partsPerCallback analog,
+    # MKLNonUniformConvolver.cpp:991-993,1497-1545): the completing
+    # frame's output Y_k = sum_j X_{k-j} H_j needs only j=0 (the frame
+    # itself) at fire time — every j >= 1 term uses an ALREADY-KNOWN
+    # frame spectrum, so a ppc-partition chunk of them is accumulated on
+    # EACH of the frame's ratio block-steps instead of all at once on
+    # the firing block.  Per-block tail cost becomes ~num_parts/ratio
+    # partitions + (FFT + j0 + IFFT) on the boundary, flattening the
+    # p99/median wall ratio the all-at-once form spikes.
+    k_cur = state.step // ratio           # frame currently accumulating
+    ppc = -(-(num_parts - 1) // ratio) if num_parts > 1 else 0
+    if ppc:
+        j0 = 1 + slot * ppc
+        js = j0 + jnp.arange(ppc)
+        valid = (js < num_parts)[..., None]
+        # FDL ring slot of frame k_cur - j  (warmup slots hold zeros)
+        w = jnp.mod(k_cur - js, num_parts)
+        fr_c = jnp.take(state.fdl_r, w, axis=-2)
+        fi_c = jnp.take(state.fdl_i, w, axis=-2)
+        hr_c = jnp.where(valid, jnp.take(Hr, jnp.minimum(
+            js, num_parts - 1), axis=-2), 0)
+        hi_c = jnp.where(valid, jnp.take(Hi, jnp.minimum(
+            js, num_parts - 1), axis=-2), 0)
+        cYr, cYi = _fdl_mac_ri(fr_c, fi_c, hr_c, hi_c)
+        par_r = state.par_r + cYr
+        par_i = state.par_i + cYi
+    else:
+        par_r, par_i = state.par_r, state.par_i
 
     def fire(_):
         osa = jnp.concatenate([state.prev, acc], axis=-1)
@@ -179,21 +228,33 @@ def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
         # frame index k: this frame holds local samples [k*p, (k+1)*p);
         # aligned stream position = k*p + offset
         k = (state.step + 1) // ratio - 1
-        fr, fi, Yr, Yi = _fdl_ring_update_mac(
-            state.fdl_r, state.fdl_i, Xr, Xi, Hr, Hi, k)
+        w0 = jnp.mod(k, num_parts)
+        fr = jax.lax.dynamic_update_slice_in_dim(
+            state.fdl_r, Xr[..., None, :].astype(state.fdl_r.dtype), w0,
+            axis=-2)
+        fi = jax.lax.dynamic_update_slice_in_dim(
+            state.fdl_i, Xi[..., None, :].astype(state.fdl_i.dtype), w0,
+            axis=-2)
+        # j = 0 term + the amortized j >= 1 partial
+        Yr = par_r + (Xr * Hr[..., 0, :] - Xi * Hi[..., 0, :])
+        Yi = par_i + (Xr * Hi[..., 0, :] + Xi * Hr[..., 0, :])
         y = irfft_half(Yr, Yi)
         pos = jnp.mod(k * p + lp.offset, ring_len)
-        return acc, fr, fi, _ring_write(state.ring, y, pos)
+        return (acc, fr, fi, _ring_write(state.ring, y, pos),
+                jnp.zeros_like(par_r), jnp.zeros_like(par_i))
 
     def hold(_):
-        return state.prev, state.fdl_r, state.fdl_i, state.ring
+        return (state.prev, state.fdl_r, state.fdl_i, state.ring,
+                par_r, par_i)
 
-    prev, fr, fi, ring = jax.lax.cond(frame_done, fire, hold, None)
+    prev, fr, fi, ring, npr, npi = jax.lax.cond(frame_done, fire, hold,
+                                                None)
 
     read_pos = jnp.mod(state.step * block_size, ring_len)
     out = _ring_read(ring, read_pos, block_size)
     return StreamLayerState(prev=prev, fdl_r=fr, fdl_i=fi, acc=acc,
-                            ring=ring, step=state.step + 1), gain * out
+                            ring=ring, step=state.step + 1,
+                            par_r=npr, par_i=npi), gain * out
 
 
 # ------------------------------------------------------------- full chain
@@ -253,7 +314,7 @@ class StreamingChain:
     def __init__(self, cfg, eq_params: EQParams | None,
                  conv_state: NUCState | None = None,
                  conv_state_r: NUCState | None = None, dtype=jnp.float32,
-                 donate_state: bool = False):
+                 donate_state: bool = False, fdl_dtype=None):
         from ..models.chain import resolve_oversampling_factor
         from ..ops.oversample import make_stages
         self.cfg = cfg
@@ -261,6 +322,10 @@ class StreamingChain:
         self.left = conv_state
         self.right = conv_state_r if conv_state_r is not None else conv_state
         self.dtype = dtype
+        # fdl_dtype=jnp.float16 halves the dominant per-stream state
+        # (stored FDL spectra) for the high-stream-count serving tier;
+        # the MAC still accumulates in `dtype` (see _fdl_mac_ri)
+        self.fdl_dtype = dtype if fdl_dtype is None else fdl_dtype
         self.os_factor = resolve_oversampling_factor(
             cfg.oversampling_factor, cfg.sample_rate)
         self.os_stages = (make_stages(self.os_factor, cfg.oversampling_preset)
@@ -313,7 +378,8 @@ class StreamingChain:
         direct_hist = None
         if self.left is not None:
             mk = lambda st: tuple(
-                _layer_init(batch_shape, lp, self.block_size, rdt)
+                _layer_init(batch_shape, lp, self.block_size, rdt,
+                            sdt=self.fdl_dtype)
                 for lp in st.plan.layers)
             conv_layers = (mk(self.left), mk(self.right))
             if self.left.plan.direct_taps > 0:

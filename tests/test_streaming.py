@@ -220,3 +220,77 @@ def test_multi_step_equals_single_steps():
     for a, b in zip(jax.tree_util.tree_leaves(st1),
                     jax.tree_util.tree_leaves(st2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
+
+@pytest.mark.slow
+def test_streaming_fdl_f16_tracks_f32(monkeypatch):
+    """The f16 FDL storage tier (serving scale: halves the dominant
+    per-stream state) tracks the f32-FDL streaming output within the f32
+    chain floor.  Measured here: ~2e-4 relative on a multi-layer NUC —
+    on par with the ~5.6e-4 f32 whole-chain floor (PERF.md), because the
+    MAC still accumulates in f32 and only STORED frame spectra round to
+    10-bit mantissa."""
+    n_ir = 40000
+    ir = RNG.normal(size=n_ir) * np.exp(-np.arange(n_ir) / 8000.0)
+    spec = FilterSpec(sample_rate=SR)
+    conv = nuc_prepare(jnp.asarray(ir, jnp.float32), 512, spec,
+                       apply_spectrum_filter=False)
+    assert len(conv.plan.layers) >= 2
+    cfg = ChainConfig(sample_rate=SR, eq_bypassed=True, eq_method="scan",
+                      apply_output_headroom=False)
+    x = (RNG.normal(size=(2, 32768)) * 0.3).astype(np.float32)
+
+    outs = {}
+    for label, fdt in (("f32", None), ("f16", jnp.float16)):
+        sc = StreamingChain(cfg, None, conv, dtype=jnp.float32,
+                            fdl_dtype=fdt)
+        st = sc.init_state(())
+        ys = []
+        for b in range(x.shape[-1] // sc.block_size):
+            st, y = sc.step(st, jnp.asarray(
+                x[:, b * sc.block_size:(b + 1) * sc.block_size]))
+            ys.append(np.asarray(y))
+        outs[label] = np.concatenate(ys, axis=-1)
+        if fdt is not None:
+            layer0 = st.conv_layers[0][1]       # a tail layer's state
+            assert layer0.fdl_r.dtype == jnp.float16
+
+    ref = outs["f32"]
+    err = (np.sqrt(np.mean((outs["f16"] - ref) ** 2))
+           / np.sqrt(np.mean(ref ** 2)))
+    assert err < 1e-3, err
+
+
+@pytest.mark.slow
+def test_streaming_amortized_tail_equals_offline():
+    """The amortized tail MAC (partsPerCallback analog: j>=1 terms of
+    each frame spread over its ratio block-steps) computes the SAME
+    convolution as the offline path — here with a long IR so both tail
+    layers carry many partitions and the chunk masking (last partial
+    chunk) is exercised."""
+    n_ir = 120000
+    ir = RNG.normal(size=n_ir) * np.exp(-np.arange(n_ir) / 20000.0)
+    spec = FilterSpec(sample_rate=SR)
+    conv = nuc_prepare(jnp.asarray(ir), 512, spec,
+                       apply_spectrum_filter=False)
+    assert len(conv.plan.layers) >= 2
+    assert any(lp.num_parts > 8 and lp.part_size > 512
+               for lp in conv.plan.layers)
+    n = 131072
+    x1 = RNG.normal(size=n) * 0.3
+    x = np.stack([x1, x1])
+    cfg = ChainConfig(sample_rate=SR, eq_bypassed=True, eq_method="scan",
+                      apply_output_headroom=False)
+    from convopeq_tpu.models.convolver import StereoConvolverState
+    off_chain = np.asarray(process_chain(
+        jnp.asarray(x), cfg, None,
+        StereoConvolverState(left=conv, right=conv)))
+
+    sc = StreamingChain(cfg, None, conv, conv, dtype=jnp.float64)
+    y, _ = sc.process(jnp.asarray(x))
+    y = np.asarray(y)
+    warmup = max(lp.offset + 2 * lp.part_size for lp in conv.plan.layers)
+    sl = slice(warmup, n)
+    err = (np.sqrt(np.mean((y[..., sl] - off_chain[..., sl]) ** 2))
+           / np.sqrt(np.mean(off_chain[..., sl] ** 2)))
+    assert err < 1e-9, err
