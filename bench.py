@@ -34,12 +34,14 @@ def _pallas_selfcheck():
     (read at trace time inside ops/partitioned_conv) so the benchmark of
     record degrades to the proven XLA pipeline instead of dying — the
     kernels are cross-lowered for TPU in CI, but the final Mosaic
-    compile only happens on the chip."""
+    compile only happens on the chip.  Returns a status string recorded
+    in the bench artifact so a Mosaic regression is visible in the JSON
+    of record, not just a stderr note."""
     import os
     import jax
     import jax.numpy as jnp
     if jax.default_backend() == "cpu":
-        return
+        return "cpu"
     from convopeq_tpu.ops import pallas_gemm_fft as pg
     p = 16384
     _n1, _k2, g = pg.grid_bins(p)
@@ -49,7 +51,7 @@ def _pallas_selfcheck():
         G = jnp.zeros((3, g), jnp.float32)
         Yr, Yi = pg.causal_mac_grid_pallas(Xr, Xi, G, G, p)
         float(jnp.sum(pg.irfft_valid_two_stage_pallas(Yr, Yi, p)))
-        return
+        return "ok"
     except Exception as e:                          # noqa: BLE001
         print(f"# pallas self-check failed ({type(e).__name__}: {e}); "
               "falling back", file=sys.stderr)
@@ -60,8 +62,36 @@ def _pallas_selfcheck():
         # transforms fine: drop only the new frames-fwd + ring-MAC pair
         os.environ["CONVOPEQ_PALLAS_FRAMES_FWD"] = "0"
         os.environ["CONVOPEQ_PALLAS_MAC"] = "0"
+        return "mac_fallback"
     except Exception:                               # noqa: BLE001
         os.environ["CONVOPEQ_PALLAS_FFT"] = "0"     # whole pallas path
+        return "xla_fallback"
+
+
+def _kernel_path(conv, batch, dtype, selfcheck):
+    """Self-description of the measured configuration, embedded in the
+    bench JSON of record (VERDICT r2 #5): which kernel path produced the
+    number, at what batch and partition plan, so a silent degradation
+    (Pallas -> XLA) or a plan change is visible in BENCH_r*.json."""
+    import os
+    import jax
+    gates = {k: os.environ.get(v, "1") != "0" for k, v in (
+        ("pallas_fft", "CONVOPEQ_PALLAS_FFT"),
+        ("pallas_frames_fwd", "CONVOPEQ_PALLAS_FRAMES_FWD"),
+        ("pallas_mac", "CONVOPEQ_PALLAS_MAC"),
+        ("pallas_dd", "CONVOPEQ_PALLAS_DD"))}
+    d = {"backend": jax.default_backend(),
+         "dtype": str(jax.numpy.dtype(dtype)),
+         "batch": batch,
+         "pallas_selfcheck": selfcheck,
+         "gates": gates}
+    if conv is not None:
+        plan = conv.left.plan
+        d["partition_plan"] = [
+            {"part_size": lp.part_size, "num_parts": lp.num_parts}
+            for lp in plan.layers]
+        d["mode"] = "folded" if len(plan.layers) == 1 else "nuc3"
+    return d
 
 
 def bench_all():
@@ -74,6 +104,7 @@ def bench_all():
     from convopeq_tpu.models.convolver import stereo_prepare
     from convopeq_tpu.models.nuc import FilterSpec, TAIL_BYPASS
 
+    selfcheck = _pallas_selfcheck()
     sr = 48000.0
     seconds = 20.0
     n = int(sr * seconds)
@@ -94,7 +125,9 @@ def bench_all():
         best = min(_timed(fn, args) for _ in range(3))
         print(json.dumps({"metric": name,
                           "value": round(batch * seconds / best, 1),
-                          "unit": "x realtime"}))
+                          "unit": "x realtime",
+                          "path": _kernel_path(conv, batch, jnp.float32,
+                                               selfcheck)}))
 
     def _timed(fn, args):
         t0 = time.perf_counter()
@@ -155,7 +188,9 @@ def bench_all():
     best = min(_timed(fn6, (x, conv1m)) for _ in range(3))
     print(json.dumps({"metric": "config6: full chain + psychoacoustic dither",
                       "value": round(batch * seconds / best, 1),
-                      "unit": "x realtime"}))
+                      "unit": "x realtime",
+                      "path": _kernel_path(conv1m, batch, jnp.float32,
+                                           selfcheck)}))
 
 
 def main():
@@ -166,7 +201,7 @@ def main():
     from convopeq_tpu.models.eq import EQParams
     from convopeq_tpu.models.nuc import FilterSpec
 
-    _pallas_selfcheck()
+    selfcheck = _pallas_selfcheck()
     sr = 48000.0
     ir_len = 1_000_000
     # long buffers amortize the fixed host<->device round-trip (~30 ms
@@ -233,6 +268,7 @@ def main():
         "value": round(rtf, 1),
         "unit": "x realtime",
         "vs_baseline": round(rtf / 1000.0, 3),
+        "path": _kernel_path(conv, batch, dtype, selfcheck),
     }))
 
 

@@ -12,13 +12,15 @@ from convopeq_tpu.ir.allpass import (
     SecondOrderAllpass, sections_group_delay, compute_response,
     DesignerConfig, design_cmaes)
 
-RNG = np.random.default_rng(21)
 SR = 48000.0
 
 
-def _test_ir(n=3000):
+def _test_ir(n=3000, seed=21):
+    # fresh seeded generator per call: a shared module-level RNG made the
+    # fixture content depend on how many tests ran before (the allpass
+    # gate test then failed only in full-suite order)
     t = np.arange(n)
-    ir = RNG.normal(size=n) * np.exp(-t / 400.0)
+    ir = np.random.default_rng(seed).normal(size=n) * np.exp(-t / 400.0)
     ir[0] = 1.0
     return ir
 

@@ -32,9 +32,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=400)
     ap.add_argument("--ir-taps", type=int, default=1_000_000)
-    ap.add_argument("--streams", type=int, nargs="*", default=[1, 32, 256])
+    ap.add_argument("--streams", type=int, nargs="*",
+                    default=[1, 32, 128, 256, 512])
     ap.add_argument("--multi", type=int, default=16,
                     help="blocks per dispatch in multi-block mode")
+    ap.add_argument("--fdl-dtype", default="float32",
+                    choices=["float32", "float16"],
+                    help="stored FDL spectra dtype (float16 halves the "
+                         "dominant per-stream state; MAC still accumulates "
+                         "in float32 — the high-stream-count serving tier)")
     args = ap.parse_args()
 
     import jax
@@ -56,13 +62,18 @@ def main():
     nuc = nuc_prepare(jax.device_put(jnp.asarray(ir, jnp.float32), dev),
                       BLOCK, FilterSpec(sample_rate=SR))
 
+    fdl_dtype = jnp.float16 if args.fdl_dtype == "float16" else jnp.float32
+    # f16-FDL runs land in their own tier so both precision tiers stay
+    # in one artifact; "per_streams" remains the f32 tier of record
+    tier = "per_streams" if args.fdl_dtype == "float32" else "per_streams_f16"
+
     budget_ms = BLOCK / SR * 1e3
     results = {"device": str(dev), "block": BLOCK, "sample_rate": SR,
                "budget_ms": round(budget_ms, 3),
                "ir_taps": args.ir_taps, "blocks": args.blocks,
                "per_streams": {}}
-    # merge semantics: a partial re-run (--streams N) refreshes only the
-    # measured stream counts, keeping the rest of the artifact
+    # merge semantics: a partial re-run (--streams N / --fdl-dtype)
+    # refreshes only the measured tier+stream counts, keeping the rest
     path = os.path.join(REPO, "SERVING.json")
     if os.path.exists(path):
         try:
@@ -70,16 +81,19 @@ def main():
                 prev = json.load(f)
             if prev.get("ir_taps") == args.ir_taps and \
                     prev.get("blocks") == args.blocks:
-                results["per_streams"] = prev.get("per_streams", {})
+                for k in ("per_streams", "per_streams_f16"):
+                    if k in prev:
+                        results[k] = prev[k]
         except Exception:
             pass
+    results.setdefault(tier, {})
 
     for ns in args.streams:
         # donate_state: XLA updates the carried state in place — without
         # it two live FDL copies (16 MB/stream at 1M taps) OOM the
         # windowed modes at 256 streams on a 16 GB chip
         sc = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32,
-                            donate_state=True)
+                            donate_state=True, fdl_dtype=fdl_dtype)
         state = sc.init_state((ns,))
         # pre-stage ALL input blocks on device: the serving loop should
         # measure the step, not host->device input transfer of test data
@@ -117,7 +131,7 @@ def main():
             "streams_x_realtime": round(
                 ns * budget_ms / float(np.median(walls_ms)), 1),
         }
-        results["per_streams"][str(ns)] = stats
+        results[tier][str(ns)] = stats
         _flush(results)
         print(f"streams={ns}: median {stats['median_ms']} ms / budget "
               f"{budget_ms:.2f} ms, p99 {stats['p99_ms']} ms, "
@@ -207,7 +221,7 @@ def main():
             while True:
                 try:
                     mstats, nxr, nwin = runner(M)
-                    results["per_streams"][str(ns)][mode] = mstats
+                    results[tier][str(ns)][mode] = mstats
                     print(f"streams={ns} {mode}/{M}: median "
                           f"{mstats['median_ms']} ms / window "
                           f"{budget_ms * M:.1f} ms, p99 "
@@ -221,7 +235,7 @@ def main():
                         print(f"streams={ns} {mode}: OOM, retrying with "
                               f"window {M}", file=sys.stderr)
                         continue
-                    results["per_streams"][str(ns)][mode] = {
+                    results[tier][str(ns)][mode] = {
                         "error": f"{type(e).__name__}: {str(e)[:160]}"}
                     print(f"streams={ns} {mode}/{M}: {type(e).__name__}",
                           file=sys.stderr)
