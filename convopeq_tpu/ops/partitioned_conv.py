@@ -135,6 +135,33 @@ def _rfft_matmul(osa, p: int):
             jnp.matmul(osa, St, precision=hi))
 
 
+def _rfft_matmul_frames(xp, p: int):
+    """rfft of overlap-save frames WITHOUT materializing the (..., K, 2p)
+    [prev|cur] tensor: X_k = prev_k @ Ct[:p] + cur_k @ Ct[p:].
+
+    The concatenates that build the osa tensor lower to strided HBM
+    copies that cost ~25x the GEMMs themselves at small p (measured
+    23.8 ms vs 0.9 ms for the 4x-oversampled config3 shape on v5e);
+    splitting the DFT matrix instead reads the signal twice through the
+    MXU at identical total FLOPs.  prev frames are a flat pad/shift of
+    the signal (one contiguous copy).
+
+    xp: (..., K*p) frame-aligned signal (already zero-padded).
+    Returns (Xr, Xi): (..., K, p+1).
+    """
+    Ct, St, _, _ = _rdft_mats(p, xp.dtype)
+    k = xp.shape[-1] // p
+    cur = xp.reshape(xp.shape[:-1] + (k, p))
+    xsh = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(p, 0)])[..., :-p]
+    prev = xsh.reshape(xsh.shape[:-1] + (k, p))
+    hi = RDFT_GEMM_PRECISION
+    Xr = (jnp.matmul(prev, Ct[:p], precision=hi)
+          + jnp.matmul(cur, Ct[p:], precision=hi))
+    Xi = (jnp.matmul(prev, St[:p], precision=hi)
+          + jnp.matmul(cur, St[p:], precision=hi))
+    return Xr, Xi
+
+
 def _irfft_valid_matmul(Yr, Yi, p: int):
     """Valid (second) half of irfft(Y, n=2p) as two GEMMs."""
     _, _, Gr, Gi = _rdft_mats(p, Yr.dtype)
@@ -303,14 +330,13 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
             if dd_pallas_enabled() and dd_pipeline_supported(
                     p, n, Hr.shape[0]):
                 return uniform_partitioned_conv_dd(x, Hr, Hi, p)
-        osa = build_osa()
         if p <= RDFT_MATMUL_MAX_P:
-            Xr, Xi = _rfft_matmul(osa, p)
+            Xr, Xi = _rfft_matmul_frames(xp, p)
             Yr, Yi = _mac_matmul_ri(Xr, Xi, Hr, Hi)
             y = _irfft_valid_matmul(Yr, Yi, p)
         else:
             from .gemm_fft import rfft_gemm, irfft_valid_gemm
-            Xr, Xi = rfft_gemm(osa, p)
+            Xr, Xi = rfft_gemm(build_osa(), p)
             Yr, Yi = _mac_shift_ri(Xr, Xi, Hr, Hi)
             y = irfft_valid_gemm(Yr, Yi, p)
         y = y.reshape(x.shape[:-1] + (k * p,))
@@ -379,7 +405,7 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         if kpad8:
             y = y[..., :k, :]                    # drop the pad frames
     elif frame_mac == "rdft":
-        Xr, Xi = _rfft_matmul(build_osa(), p)
+        Xr, Xi = _rfft_matmul_frames(xp, p)
         Yr, Yi = _mac_matmul_ri(Xr, Xi, jnp.real(H), jnp.imag(H))
         y = _irfft_valid_matmul(Yr, Yi, p)
     elif frame_mac == "gemmfft":
