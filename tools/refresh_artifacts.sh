@@ -24,8 +24,10 @@ if [ "${rc[bench_all]}" -eq 0 ]; then
 fi
 run tpu_parity     python tools/tpu_parity.py
 run serving        python tools/serving_bench.py
+run serving_f16    python tools/serving_bench.py --fdl-dtype float16
+run profile        python tools/profile_headline.py
 
 echo "=== summary"
-for k in bench_headline bench_all tpu_parity serving; do
+for k in bench_headline bench_all tpu_parity serving serving_f16 profile; do
   echo "$k: rc=${rc[$k]} (log /tmp/refresh_$k.log)"
 done
