@@ -114,6 +114,10 @@ def main(argv=None):
                     help="print LUFS + true peak of the output")
     ap.add_argument("--f64", action="store_true",
                     help="run on CPU in float64 (exactness mode)")
+    ap.add_argument("--export-evidence", metavar="DIR",
+                    help="after processing, dump the structured audit "
+                         "artifact set (evidence/*.json + sha256 manifest; "
+                         "the reference's ISREvidenceExporter analog)")
     ap.add_argument("--serve", action="store_true",
                     help="process through the native block-scheduler "
                          "serving path (producer thread -> C++ rings -> "
@@ -206,6 +210,11 @@ def main(argv=None):
         tp = float(jnp.max(true_peak(jnp.asarray(y))))
         print(f"integrated loudness: {li:.2f} LUFS, true peak: "
               f"{20 * np.log10(max(tp, 1e-12)):.2f} dBTP")
+
+    if args.export_evidence:
+        manifest = eng.export_evidence_dir(args.export_evidence)
+        print(f"evidence: {manifest['artifactCount']} artifacts + manifest "
+              f"-> {args.export_evidence}")
 
     if args.output:
         write_wav(args.output, y, int(sr))

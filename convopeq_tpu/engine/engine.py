@@ -954,6 +954,13 @@ class ConvoPeqEngine:
             rep["steps"] = self._xrun.steps
         return rep
 
+    def export_evidence_dir(self, directory) -> dict:
+        """Write the structured audit artifact set (ISREvidenceExporter
+        analog — one JSON artifact per live subsystem, plus a sha256
+        manifest; see runtime/evidence.py).  Returns the manifest."""
+        from ..runtime.evidence import EvidenceExporter
+        return EvidenceExporter(self).export(directory)
+
     # ------------------------------------------------------------ state IO
     def save_state(self) -> str:
         """Serialize the full configuration to JSON (preset analog)."""

@@ -161,6 +161,14 @@ class RuntimeHealthMonitor:
         self._now = now_fn
         self.health = Health.HEALTHY
         self._last_bad = None
+        # bounded transition trace for evidence export (deferred_health)
+        self.history: deque = deque(maxlen=64)
+
+    def _transition(self, new: Health, now: float):
+        if new != self.health:
+            self.history.append({"from": self.health.name, "to": new.name,
+                                 "t_monotonic": now})
+        self.health = new
 
     def tick(self, xruns: int, steps: int, failures: int = 0) -> Health:
         rate = xruns / steps if steps else 0.0
@@ -174,14 +182,14 @@ class RuntimeHealthMonitor:
         if target.value >= self.health.value:
             if target != Health.HEALTHY:
                 self._last_bad = now
-            self.health = target
+            self._transition(target, now)
             return self.health
 
         # de-escalation with hysteresis
         hold = (self.CRITICAL_HOLD_S if self.health == Health.CRITICAL
                 else self.DEGRADED_HOLD_S)
         if self._last_bad is None or (now - self._last_bad) >= hold:
-            self.health = Health(self.health.value - 1)
+            self._transition(Health(self.health.value - 1), now)
             if self.health != Health.HEALTHY:
                 self._last_bad = now
         return self.health
@@ -193,8 +201,11 @@ class RuntimePolicyEngine:
 
     def __init__(self):
         self.level = PolicyLevel.OBSERVE
+        # bounded transition trace for evidence export (recovery_trace)
+        self.history: deque = deque(maxlen=64)
 
     def evaluate(self, health: Health) -> PolicyLevel:
+        prev = self.level
         if health == Health.CRITICAL:
             self.level = PolicyLevel(min(PolicyLevel.CRITICAL,
                                          self.level + 2))
@@ -202,6 +213,10 @@ class RuntimePolicyEngine:
             self.level = PolicyLevel(min(PolicyLevel.SAFE, self.level + 1))
         elif self.level > PolicyLevel.OBSERVE:
             self.level = PolicyLevel(self.level - 1)
+        if self.level != prev:
+            self.history.append({"from": prev.name, "to": self.level.name,
+                                 "health": health.name,
+                                 "t_monotonic": time.monotonic()})
         return self.level
 
     @property
