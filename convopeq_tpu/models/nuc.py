@@ -296,7 +296,63 @@ def nuc_prepare_uniform(ir, part_size: int, block_size: int = 512) -> NUCState:
     return NUCState(plan=plan, layer_spectra=[H], direct_ir=None)
 
 
-def nuc_convolve(x, state: NUCState):
+def tail_delivery_map(part_size: int, block_size: int, num_parts: int,
+                      out_delay: int, nblocks: int) -> np.ndarray:
+    """Discrete-event model of the reference's B13 tail delivery protocol.
+
+    The reference does NOT deliver L1/L2 tail output at the mathematically
+    exact convolution position.  Each tail layer is an overlap-save FDL on
+    its own partition clock whose MAC is amortized over callbacks
+    (partsPerCallback, MKLNonUniformConvolver.cpp:988-993, 1500-1545); the
+    completed partSize chunk is pushed into a delay ring (delayLineWrite)
+    and Get() reads it back with readCursor = max(readCursor,
+    writeCursor - outputDelaySamples) where outputDelaySamples = total IR
+    length of preceding layers (cpp:1005-1010, 1659-1689).  Because the
+    read clamp only ever applies when the writer is AHEAD, the steady-state
+    delivery offset is set by the write schedule, not by
+    outputDelaySamples: chunk m (covering conv output [m*P,(m+1)*P) of the
+    layer's segment) is written in callback
+    (m+1)*blocksPerPart - 1 + (macCallbacks-1), and reads then proceed
+    contiguously.  Net effect (verified against the compiled reference
+    with Dirac probes, tests/test_ref_vectors.py): every tail layer
+    arrives at a CONSTANT shift vs the exact position — e.g. +1408
+    samples late for a 64-partition L1, 230528 samples EARLY for the L2
+    of a 600k-tap IR (block 512).
+
+    `nuc_convolve(..., tail_delivery="reference")` applies this map so a
+    full-stream A/B diff against the reference binary is possible on
+    3-layer configs; the exact mode places every layer at the true
+    convolution offset instead (PARITY.md "tail delivery seam").
+
+    Returns an int64 array mapping output sample index -> index into the
+    layer's exact convolution (or -1 where the reference delivers
+    nothing, i.e. warmup stalls / clamp drops).
+    """
+    part, block = part_size, block_size
+    bpp = -(-part // block)                       # blocksPerPart
+    ppc = min(num_parts, max(1, -(-num_parts // bpp)))
+    macs = -(-num_parts // ppc)                   # callbacks per chunk MAC
+    writes = {}
+    m = 0
+    while True:
+        wb = (m + 1) * bpp - 1 + (macs - 1)
+        if wb >= nblocks:
+            break
+        writes[wb] = writes.get(wb, 0) + part
+        m += 1
+    out = np.full(nblocks * block, -1, dtype=np.int64)
+    wc = 0
+    rc = 0
+    for b in range(nblocks):
+        wc += writes.get(b, 0)
+        start = max(rc, max(0, wc - out_delay))
+        if start + block <= wc:
+            out[b * block:(b + 1) * block] = np.arange(start, start + block)
+            rc = start + block
+    return out
+
+
+def nuc_convolve(x, state: NUCState, tail_delivery: str = "exact"):
     """Offline NUC convolution of x (..., N) -> (..., N).
 
     Steady-state-exact equivalent of streaming Add/Get with blockSize equal
@@ -305,13 +361,33 @@ def nuc_convolve(x, state: NUCState):
     and the direct head contributes at zero delay.  (The real-time engine's
     warmup transient — ring/delay-line fill — is not reproduced; offline the
     convolution is exact from sample 0.)
+
+    tail_delivery="reference" is the opt-in compat mode: tail layers are
+    delivered on the reference's amortized write/read-clamp schedule
+    (`tail_delivery_map`) instead of at the exact offset, reproducing the
+    reference binary's streamed output sample-for-sample (including its
+    constant per-layer delivery shifts and warmup drops) for A/B diffs.
+    Samples past the last whole plan block get no tail contribution, as
+    in the reference (a partial Get never completes a block read).
     """
+    if tail_delivery not in ("exact", "reference"):
+        raise ValueError(f"tail_delivery: {tail_delivery!r}")
     x = jnp.asarray(x)
     n = x.shape[-1]
     y = jnp.zeros_like(x)
-    for lp, H in zip(state.plan.layers, state.layer_spectra):
+    for li, (lp, H) in enumerate(zip(state.plan.layers,
+                                     state.layer_spectra)):
         yl = uniform_partitioned_conv(x, H, lp.part_size)
-        if lp.offset > 0:
+        if tail_delivery == "reference" and li > 0:
+            block = state.plan.block_size
+            mp = np.full(n, -1, np.int64)
+            nb = n // block
+            mp[:nb * block] = tail_delivery_map(
+                lp.part_size, block, lp.num_parts, lp.offset, nb)
+            valid = jnp.asarray(mp >= 0)
+            yl = jnp.where(valid, jnp.take(yl, jnp.asarray(
+                np.maximum(mp, 0)), axis=-1), 0.0)
+        elif lp.offset > 0:
             yl = jnp.pad(yl, [(0, 0)] * (x.ndim - 1) + (
                 [(lp.offset, 0)]))[..., :n]
         y = y + (lp.gain * yl if lp.gain != 1.0 else yl)

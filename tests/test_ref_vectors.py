@@ -512,68 +512,14 @@ def _nuc_case_spec(c):
                       tail_l1l2_multiplier=int(s["mult"])), True
 
 
-def _tail_delivery_map(part, block, num_parts_ir, out_delay, nblocks):
-    """Discrete-event model of the reference's B13 tail delivery protocol.
-
-    The reference does NOT deliver L1/L2 tail output at the mathematically
-    exact convolution position.  Each tail layer is an overlap-save FDL on
-    its own partition clock whose MAC is amortized over callbacks
-    (partsPerCallback, MKLNonUniformConvolver.cpp:988-993, 1500-1545); the
-    completed partSize chunk is pushed into a delay ring (delayLineWrite)
-    and Get() reads it back with readCursor = max(readCursor,
-    writeCursor - outputDelaySamples) where outputDelaySamples = total IR
-    length of preceding layers (cpp:1005-1010, 1659-1689).  Because the
-    read clamp only ever applies when the writer is AHEAD, the steady-state
-    delivery offset is set by the write schedule, not by
-    outputDelaySamples: chunk m (covering conv output [m*P,(m+1)*P) of the
-    layer's segment) is written in callback
-    (m+1)*blocksPerPart - 1 + (macCallbacks-1), and reads then proceed
-    contiguously.  Net effect (verified against the compiled reference
-    with Dirac probes): every tail layer arrives at a CONSTANT shift vs
-    the exact position — e.g. +1408 samples late for a 64-partition L1,
-    230528 samples EARLY for the L2 of a 600k-tap IR (block 512).
-
-    Our rebuild intentionally does not reproduce this seam: nuc_convolve
-    and the streaming runtime place every layer at the exact convolution
-    offset (see PARITY.md "tail delivery seam").  This map exists so the
-    parity tests can validate everything else (partition plan, spectra,
-    HC/LC filter, damping, gains, direct head) against the reference
-    binary's actual output.
-
-    Returns an int64 array mapping output sample index -> index into the
-    layer's exact convolution (or -1 where the reference delivers
-    nothing, i.e. warmup stalls / clamp drops).
-    """
-    bpp = -(-part // block)                       # blocksPerPart
-    ppc = min(num_parts_ir, max(1, -(-num_parts_ir // bpp)))
-    macs = -(-num_parts_ir // ppc)                # callbacks per chunk MAC
-    writes = {}
-    m = 0
-    while True:
-        wb = (m + 1) * bpp - 1 + (macs - 1)
-        if wb >= nblocks:
-            break
-        writes[wb] = writes.get(wb, 0) + part
-        m += 1
-    out = np.full(nblocks * block, -1, dtype=np.int64)
-    wc = 0
-    rc = 0
-    for b in range(nblocks):
-        wc += writes.get(b, 0)
-        start = max(rc, max(0, wc - out_delay))
-        if start + block <= wc:
-            out[b * block:(b + 1) * block] = np.arange(start, start + block)
-            rc = start + block
-    return out
-
-
 def _nuc_reference_expected(c, ir, x):
-    """Our model's prediction of the reference's streamed output: exact
-    per-layer partitioned convolution + the reference's tail delivery
-    schedule (see _tail_delivery_map)."""
+    """The compat mode IS the model of the reference's streamed output:
+    nuc_convolve(tail_delivery="reference") applies the B13 amortized
+    write/read-clamp delivery schedule (models/nuc.py::tail_delivery_map),
+    so these binary-pin tests are full-stream A/B diffs of the shipped
+    compat path against the reference binary."""
     import jax.numpy as jnp
-    from convopeq_tpu.models.nuc import nuc_prepare
-    from convopeq_tpu.ops.partitioned_conv import uniform_partitioned_conv
+    from convopeq_tpu.models.nuc import nuc_convolve, nuc_prepare
     spec, apply_filter = _nuc_case_spec(c)
     st = nuc_prepare(ir, int(c["block"]), spec, scale=float(c["scale"]),
                      enable_direct_head=bool(c["direct_head"]),
@@ -581,30 +527,8 @@ def _nuc_reference_expected(c, ir, x):
     assert st.plan.latency == int(c["latency"]), (
         f"{c['name']}: planned latency {st.plan.latency} != ref "
         f"{c['latency']}")
-    n = x.shape[-1]
-    block = int(c["block"])
-    y = np.zeros(n)
-    prev_total = 0
-    for li, (lp, H) in enumerate(zip(st.plan.layers, st.layer_spectra)):
-        yl = np.asarray(uniform_partitioned_conv(jnp.asarray(x), H,
-                                                 lp.part_size))
-        if li == 0:
-            # L0 is the immediate layer: ringWrite in the same Add,
-            # ringRead in the same Get -> delivered at the exact position
-            y += yl
-        else:
-            mp = _tail_delivery_map(lp.part_size, block, lp.num_parts,
-                                    prev_total, n // block)
-            valid = mp >= 0
-            tail = np.zeros(n)
-            tail[valid] = yl[mp[valid]] * lp.gain
-            y += tail
-        prev_total += lp.length
-    if st.direct_ir is not None:
-        # the direct head is computed in the same Add and added in the
-        # same Get: a genuine zero-latency early path
-        y += np.convolve(x, np.asarray(st.direct_ir))[:n]
-    return y
+    return np.asarray(nuc_convolve(jnp.asarray(x), st,
+                                   tail_delivery="reference"))
 
 
 def test_nuc_engine_matches_reference_binary():
