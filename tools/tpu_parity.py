@@ -152,27 +152,34 @@ def main():
 
     for label, dtype, batch in (("dd(f64)", jnp.float64, 4),
                                 ("f32", jnp.float32, 4)):
-        conv_h = stereo_prepare(
-            jax.device_put(jnp.asarray(ir1m, dtype), dev), 512,
-            FilterSpec(sample_rate=SR))
-        f1 = jax.jit(stage_in_eq)
-        f2 = jax.jit(stage_conv)
-        f3 = jax.jit(stage_out)
-        fn_h = lambda v, c: float(f3(f2(f1(v), c)))
-        xb = jax.device_put(
-            jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype), dev)
-        t0 = time.time()
-        fn_h(xb, conv_h)
-        print(f"{label} compile+warm {time.time() - t0:.0f}s",
-              file=sys.stderr)
-        walls = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        # each mode is its own artifact: record a failure and keep going
+        # so one bad compile can't lose the rest of the artifact set
+        try:
+            conv_h = stereo_prepare(
+                jax.device_put(jnp.asarray(ir1m, dtype), dev), 512,
+                FilterSpec(sample_rate=SR))
+            f1 = jax.jit(stage_in_eq)
+            f2 = jax.jit(stage_conv)
+            f3 = jax.jit(stage_out)
+            fn_h = lambda v, c: float(f3(f2(f1(v), c)))
+            xb = jax.device_put(
+                jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype),
+                dev)
+            t0 = time.time()
             fn_h(xb, conv_h)
-            walls.append(time.perf_counter() - t0)
-        rtf = batch * seconds / min(walls)
-        result[f"rtf_{label}"] = round(rtf, 1)
-        print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+            print(f"{label} compile+warm {time.time() - t0:.0f}s",
+                  file=sys.stderr)
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn_h(xb, conv_h)
+                walls.append(time.perf_counter() - t0)
+            rtf = batch * seconds / min(walls)
+            result[f"rtf_{label}"] = round(rtf, 1)
+            print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+        except Exception as e:                       # noqa: BLE001
+            result[f"rtf_{label}_error"] = repr(e)[:400]
+            print(f"{label}: FAILED {e!r}", file=sys.stderr)
         flush()
 
     # --- folded static-config mode (models/chain.py): the same LTI
@@ -185,25 +192,30 @@ def main():
     cfg_lin = ChainConfig(sample_rate=SR)
     for label, dtype, batch in (("dd(f64)_folded", jnp.float64, 4),
                                 ("f32_folded", jnp.float32, 4)):
-        conv_f = prepare_folded_convolver(
-            ir1m, 512, FilterSpec(sample_rate=SR), cfg_lin, eqp,
-            dtype=dtype)
-        fnf = jax.jit(lambda v, c: jnp.sum(jnp.abs(
-            process_chain_fused(v, cfg_lin, c))))
-        xb = jax.device_put(
-            jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype), dev)
-        t0 = time.time()
-        float(fnf(xb, conv_f))
-        print(f"{label} compile+warm {time.time() - t0:.0f}s",
-              file=sys.stderr)
-        walls = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        try:
+            conv_f = prepare_folded_convolver(
+                ir1m, 512, FilterSpec(sample_rate=SR), cfg_lin, eqp,
+                dtype=dtype)
+            fnf = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+                process_chain_fused(v, cfg_lin, c))))
+            xb = jax.device_put(
+                jnp.asarray(rng.normal(size=(batch, 2, n)) * 0.25, dtype),
+                dev)
+            t0 = time.time()
             float(fnf(xb, conv_f))
-            walls.append(time.perf_counter() - t0)
-        rtf = batch * seconds / min(walls)
-        result[f"rtf_{label}"] = round(rtf, 1)
-        print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+            print(f"{label} compile+warm {time.time() - t0:.0f}s",
+                  file=sys.stderr)
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fnf(xb, conv_f))
+                walls.append(time.perf_counter() - t0)
+            rtf = batch * seconds / min(walls)
+            result[f"rtf_{label}"] = round(rtf, 1)
+            print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+        except Exception as e:                       # noqa: BLE001
+            result[f"rtf_{label}_error"] = repr(e)[:400]
+            print(f"{label}: FAILED {e!r}", file=sys.stderr)
         flush()
 
     print(json.dumps(result))
