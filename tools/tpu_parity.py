@@ -45,6 +45,55 @@ np.save(%(out)r, y)
 """
 
 
+_CPU_FOLDED_SNIPPET = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, %(repo)r)
+from tools.tpu_parity import build_headline_fixture
+ir, eqp, x = build_headline_fixture()
+from convopeq_tpu.models.chain import (ChainConfig, prepare_folded_convolver,
+                                       process_chain_fused)
+from convopeq_tpu.models.nuc import FilterSpec
+cfg = ChainConfig(sample_rate=48000.0)
+conv = prepare_folded_convolver(ir, 512, FilterSpec(sample_rate=48000.0),
+                                cfg, eqp, dtype=jnp.float64)
+y = np.asarray(process_chain_fused(jnp.asarray(x, jnp.float64), cfg, conv))
+np.save(%(out)r, y)
+"""
+
+
+def build_headline_fixture():
+    """The headline 1M-tap + 20-band-EQ config, plus a short (2 s) input
+    used to pin the dd-FOLDED mode's OWN numerical error against a CPU
+    f64 golden of the same folded chain — so PARITY_TPU.json carries,
+    for one config and one kernel path (the dd Pallas pipeline,
+    ops/pallas_dd_fft.py), both the RMS contract and the RTF."""
+    from convopeq_tpu.models.eq import EQParams
+    rng = np.random.default_rng(0)
+    ir_len = 1_000_000
+    decay = np.exp(-np.arange(ir_len) / (ir_len / 10.0))
+    ir1m = np.stack([rng.normal(size=ir_len) * decay,
+                     rng.normal(size=ir_len) * decay]) * 0.02
+    eqp = EQParams()
+    eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+    x_small = np.random.default_rng(7).normal(size=(2, 96000)) * 0.25
+    return ir1m, eqp, x_small
+
+
+def cpu_folded_reference(path="/tmp/convopeq_cpu_folded_ref.npy"):
+    """f64 CPU golden of the folded headline chain (subprocess, CPU
+    backend pinned)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = _CPU_FOLDED_SNIPPET % {"repo": REPO, "out": path}
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=REPO)
+    return np.load(path)
+
+
 def build_fixture():
     """Same class of fixture as tests/test_precision.py: 6k-tap stereo IR,
     4 active EQ bands (one M/S), soft clip, scan EQ."""
@@ -125,15 +174,10 @@ def main():
     from convopeq_tpu.models.output_filter import output_filter_process
     from convopeq_tpu.utils.dsputil import K_OUTPUT_HEADROOM
 
-    rng = np.random.default_rng(0)
-    ir_len = 1_000_000
     seconds = 20.0
     n = int(SR * seconds)
-    decay = np.exp(-np.arange(ir_len) / (ir_len / 10.0))
-    ir1m = np.stack([rng.normal(size=ir_len) * decay,
-                     rng.normal(size=ir_len) * decay]) * 0.02
-    eqp = EQParams()
-    eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+    ir1m, eqp, x_small = build_headline_fixture()
+    rng = np.random.default_rng(1)
 
     def stage_in_eq(v):
         v = jnp.where(jnp.isfinite(v) & (jnp.abs(v) >= 1e-20), v, 0.0)
@@ -213,12 +257,40 @@ def main():
             rtf = batch * seconds / min(walls)
             result[f"rtf_{label}"] = round(rtf, 1)
             print(f"{label}: RTF {rtf:.0f}x", file=sys.stderr)
+            if dtype == jnp.float64:
+                result.update(_dd_folded_rms(jax, jnp, dev, cfg_lin,
+                                             conv_f, x_small, rtf))
         except Exception as e:                       # noqa: BLE001
             result[f"rtf_{label}_error"] = repr(e)[:400]
             print(f"{label}: FAILED {e!r}", file=sys.stderr)
         flush()
 
     print(json.dumps(result))
+
+
+def _dd_folded_rms(jax, jnp, dev, cfg_lin, conv_f, x_small, rtf):
+    """SAME-CONFIG RMS: the dd-folded chain's own output (same conv
+    state, same dd Pallas kernel path that produced the RTF) vs a CPU
+    f64 golden of the same folded chain on a 2 s input — the north-star
+    contract stated as one artifact: RMS <= 1e-9 AND RTF >= 1000x for
+    ONE on-chip config.  Isolated so a golden/compile failure here
+    records its own error key without clobbering the RTF entry."""
+    from convopeq_tpu.models.chain import process_chain_fused
+    try:
+        y_cpu_f = cpu_folded_reference()
+        fn_sig = jax.jit(lambda v, c: process_chain_fused(v, cfg_lin, c))
+        y_dd = np.asarray(fn_sig(
+            jax.device_put(jnp.asarray(x_small, jnp.float64), dev), conv_f))
+        rel_f = float(np.sqrt(np.mean((y_dd - y_cpu_f) ** 2))
+                      / np.sqrt(np.mean(y_cpu_f ** 2)))
+        print(f"dd(f64)_folded: folded RMS {rel_f:.2e}", file=sys.stderr)
+        return {"rms_rel_err_dd(f64)_folded_vs_f64_cpu": rel_f,
+                "dd_folded_north_star": {
+                    "rms_le_1e-9": bool(rel_f <= 1e-9),
+                    "rtf_ge_1000x": bool(rtf >= 1000.0)}}
+    except Exception as e:                           # noqa: BLE001
+        print(f"dd folded RMS: FAILED {e!r}", file=sys.stderr)
+        return {"rms_rel_err_dd(f64)_folded_error": repr(e)[:400]}
 
 
 if __name__ == "__main__":
