@@ -262,14 +262,14 @@ def _rfft_two_stage_impl(osa, p: int, interpret: bool, mode: str):
 
     consts = [jnp.asarray(m, jnp.float32)
               for m in (f1c, f1s, ftcT, ftsT, f2c, f2s)]
-    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (0,) * nd)(m.ndim),
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (_Z0,) * nd)(m.ndim),
                           memory_space=pltpu.VMEM) for m in consts]
     xr, xi = pl.pallas_call(
         partial(_fwd_kernel, tile=tile, n1=N1, n2=N2, mode=mode),
         grid=(rows // tile,),
-        in_specs=[pl.BlockSpec((tile, N), lambda r: (r, 0),
+        in_specs=[pl.BlockSpec((tile, N), lambda r: (r, _Z0),
                                memory_space=pltpu.VMEM)] + cspec,
-        out_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, 0, 0),
+        out_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, _Z0, _Z0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((rows, K2, N1), jnp.float32)] * 2,
         interpret=interpret,
@@ -346,16 +346,16 @@ def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str,
 
     consts = [jnp.asarray(m, jnp.float32)
               for m in (f1c, f1s, ftcT, ftsT, f2c, f2s)]
-    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda c, ft: (0,) * nd)(
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda c, ft: (_Z0,) * nd)(
         m.ndim), memory_space=pltpu.VMEM) for m in consts]
     xr, xi = pl.pallas_call(
         partial(_fwd_frames_kernel, tile=tile, n1=N1, n2=N2, p=p,
                 mode=mode, batched=batched),
         grid=(C, K // tile),
-        in_specs=[pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, 0),
+        in_specs=[pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, _Z0),
                                memory_space=pltpu.VMEM)] + cspec,
         out_specs=[pl.BlockSpec((1, tile, K2, N1),
-                                lambda c, ft: (c, ft, 0, 0),
+                                lambda c, ft: (c, ft, _Z0, _Z0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((C, K, K2, N1), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((tile if batched else 1, N),
@@ -393,15 +393,15 @@ def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
 
     consts = [jnp.asarray(m, jnp.float32)
               for m in (wT, i1cT, i1sT, itcT, itsT, i2c, i2s)]
-    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (0,) * nd)(m.ndim),
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda r: (_Z0,) * nd)(m.ndim),
                           memory_space=pltpu.VMEM) for m in consts]
     out = pl.pallas_call(
         partial(_inv_kernel, tile=tile, n1=N1, n2=N2, mode=mode,
                 batched=batched),
         grid=(rows // tile,),
-        in_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, 0, 0),
+        in_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, _Z0, _Z0),
                                memory_space=pltpu.VMEM)] * 2 + cspec,
-        out_specs=pl.BlockSpec((tile, p), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((tile, p), lambda r: (r, _Z0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, p), jnp.float32),
         interpret=interpret,
@@ -436,6 +436,11 @@ def irfft_valid_two_stage_pallas(Yr, Yi, p: int, interpret: bool = False):
 # cell once; the MAC loop does ~6.P passes, so the overhead is ~4%.
 
 _MAC_VMEM_BUDGET = 10 * 2 ** 20   # phase copies + x/y/h blocks per cell
+
+
+_Z0 = np.int32(0)   # index maps must return i32: a Python-int 0 lowers
+# as i64 under jax_enable_x64 and Mosaic fails to legalize func.return
+# (observed on-chip; the dd kernels already use np.int32(0))
 
 
 def _round8(x: int) -> int:
@@ -551,9 +556,9 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
     xr = Xr.reshape(C, K, g)
     xi = Xi.reshape(C, K, g)
 
-    xspec = pl.BlockSpec((1, K, tb), lambda c, bt: (c, 0, bt),
+    xspec = pl.BlockSpec((1, K, tb), lambda c, bt: (c, _Z0, bt),
                          memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec((P, tb), lambda c, bt: (0, bt),
+    hspec = pl.BlockSpec((P, tb), lambda c, bt: (_Z0, bt),
                          memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         partial(_mac_kernel, K=K, P=P),

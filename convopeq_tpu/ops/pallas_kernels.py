@@ -33,6 +33,10 @@ except Exception:          # pragma: no cover
     HAVE_PALLAS = False
 
 
+_Z0 = np.int32(0)   # index maps must return i32: a Python-int 0 lowers
+# as i64 under jax_enable_x64 and Mosaic fails to legalize func.return
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -121,9 +125,9 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
     qt = pl.pallas_call(
         kernel,
         grid=(nc,),
-        in_specs=[pl.BlockSpec((chunk, rp), lambda i: (i, 0)),
-                  pl.BlockSpec((chunk, rp), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((chunk, rp), lambda i: (i, 0)),
+        in_specs=[pl.BlockSpec((chunk, rp), lambda i: (i, _Z0)),
+                  pl.BlockSpec((chunk, rp), lambda i: (i, _Z0))],
+        out_specs=pl.BlockSpec((chunk, rp), lambda i: (i, _Z0)),
         out_shape=jax.ShapeDtypeStruct((npad, rp), dt),
         scratch_shapes=[pltpu.VMEM((order, rp), dt)],
         interpret=interpret,
