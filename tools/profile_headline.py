@@ -96,6 +96,50 @@ def main():
     wall = timed(full, x, conv)
     res["chain_ms"] = round(wall * 1e3, 1)
     res["rtf"] = round(audio_s / wall, 1)
+
+    # ---- the SHIPPED headline path: folded single-layer plan + fused
+    # Pallas transforms/MAC, attributed stage by stage at the same shapes
+    # (PERF.md's table of record; VERDICT r2 weak #4)
+    if jax.default_backend() != "cpu":
+        from convopeq_tpu.models.chain import (prepare_folded_convolver,
+                                               process_chain_fused)
+        from convopeq_tpu.ops.pallas_gemm_fft import (
+            rfft_frames_two_stage_pallas, irfft_valid_two_stage_pallas,
+            causal_mac_grid_pallas, spectra_to_grid, grid_bins)
+        convf = prepare_folded_convolver(ir, 512, FilterSpec(sample_rate=SR),
+                                         cfg, eqp, dtype=jnp.float32)
+        lp = convf.left.plan.layers[0]
+        p = lp.part_size
+        fold = {"partition_plan": f"p{p} x{lp.num_parts}"}
+        k = -(-n // p)
+        kp = k + ((-k) % 8)
+        # mono single-channel frames at the headline length (the chain
+        # runs batch*2 of these; scale in the table, not the measurement)
+        xl = x[:, 0, :]
+        frames = jnp.pad(xl, [(0, 0), (0, kp * p - n)]).reshape(
+            args.batch, kp, p)
+        H = convf.left.layer_spectra[0]
+        Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
+        g = grid_bins(p)[2]
+        fwd = jax.jit(lambda fr: jnp.sum(jnp.abs(
+            rfft_frames_two_stage_pallas(fr, p)[0])))
+        fold["fwd_frames_pallas_mono_ms"] = round(
+            timed(fwd, frames) * 1e3, 1)
+        Xr, Xi = jax.jit(lambda fr: rfft_frames_two_stage_pallas(fr, p))(
+            frames)
+        mac = jax.jit(lambda a, b, gr, gi: jnp.sum(jnp.abs(
+            causal_mac_grid_pallas(a, b, gr, gi, p)[0])))
+        fold["mac_grid_pallas_mono_ms"] = round(
+            timed(mac, Xr, Xi, Gr, Gi) * 1e3, 1)
+        inv = jax.jit(lambda a, b: jnp.sum(jnp.abs(
+            irfft_valid_two_stage_pallas(a, b, p))))
+        fold["inv_pallas_mono_ms"] = round(timed(inv, Xr, Xi) * 1e3, 1)
+        ffull = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+            process_chain_fused(v, cfg, c))))
+        fwall = timed(ffull, x, convf)
+        fold["folded_chain_ms"] = round(fwall * 1e3, 1)
+        fold["folded_rtf"] = round(audio_s / fwall, 1)
+        res["folded_path"] = fold
     print(json.dumps(res, indent=1))
 
 

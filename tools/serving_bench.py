@@ -89,6 +89,29 @@ def main():
     results.setdefault(tier, {})
 
     for ns in args.streams:
+        try:
+            _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
+                      budget_ms, rng, dev)
+        except Exception as e:       # noqa: BLE001 — e.g. prep-time OOM
+            # per-stream-count isolation: a 512-stream FDL that cannot
+            # even be allocated must record an error entry, not kill the
+            # run (and the already-flushed tiers) with it
+            results[tier][str(ns)] = {
+                "error": f"{type(e).__name__}: {str(e)[:160]}"}
+            print(f"streams={ns}: {type(e).__name__} (prep)",
+                  file=sys.stderr)
+            _flush(results)
+
+    _flush(results)
+    print(json.dumps(results))
+
+
+def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
+              budget_ms, rng, dev):
+        import jax
+        import jax.numpy as jnp
+        from convopeq_tpu.runtime.streaming import StreamingChain
+        from convopeq_tpu.runtime.telemetry import XrunDetector
         # donate_state: XLA updates the carried state in place — without
         # it two live FDL copies (16 MB/stream at 1M taps) OOM the
         # windowed modes at 256 streams on a 16 GB chip
@@ -241,9 +264,6 @@ def main():
                           file=sys.stderr)
                     break
             _flush(results)
-
-    _flush(results)
-    print(json.dumps(results))
 
 
 def _flush(results):
