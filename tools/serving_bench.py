@@ -155,6 +155,10 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
                 ns * budget_ms / float(np.median(walls_ms)), 1),
         }
         results[tier][str(ns)] = stats
+        # free the per-block mode's state before the windowed modes build
+        # theirs: holding both is 2x the FDL (8.4 GB at 256 streams f32)
+        # and was the margin that pushed the windowed modes into OOM
+        state = y = None
         _flush(results)
         print(f"streams={ns}: median {stats['median_ms']} ms / budget "
               f"{budget_ms:.2f} ms, p99 {stats['p99_ms']} ms, "
