@@ -147,6 +147,7 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
         stats = {
             "median_ms": round(float(np.median(walls_ms)), 3),
             "p90_ms": round(float(np.percentile(walls_ms, 90)), 3),
+            "p95_ms": round(float(np.percentile(walls_ms, 95)), 3),
             "p99_ms": round(float(np.percentile(walls_ms, 99)), 3),
             "max_ms": round(float(walls_ms.max()), 3),
             "xruns": xrun.xruns,
@@ -192,7 +193,9 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
                 "window_budget_ms": round(budget_ms * M, 3),
                 "median_ms": round(float(np.median(mw)), 3),
                 "p90_ms": round(float(np.percentile(mw, 90)), 3),
+                "p95_ms": round(float(np.percentile(mw, 95)), 3),
                 "p99_ms": round(float(np.percentile(mw, 99)), 3),
+                "walls_ms": [round(float(v), 2) for v in mw],
                 "max_ms": round(float(mw.max()), 3),
                 "xruns": xrun_m.xruns,
                 "xrun_free": xrun_m.xruns == 0,
@@ -227,7 +230,9 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
                 "window_budget_ms": round(budget_ms * M, 3),
                 "median_ms": round(float(np.median(pw)), 3),
                 "p90_ms": round(float(np.percentile(pw, 90)), 3),
+                "p95_ms": round(float(np.percentile(pw, 95)), 3),
                 "p99_ms": round(float(np.percentile(pw, 99)), 3),
+                "walls_ms": [round(float(v), 2) for v in pw],
                 "max_ms": round(float(pw.max()), 3),
                 "xruns": xrun_p.xruns,
                 "xrun_free": xrun_p.xruns == 0,
