@@ -660,17 +660,35 @@ class ConvoPeqEngine:
                                  self.learning_mode))
         return y
 
-    def streaming_chain(self):
+    def streaming_chain(self, folded: bool = False, fdl_dtype=None,
+                        donate_state: bool = False):
         """Build the block-at-a-time serving chain for the current config
         (runtime/streaming.py).  Oversampled configs run the convolver at
         the processing rate, so the base-rate block is
-        plan.latency / os_factor."""
+        plan.latency / os_factor.
+
+        folded=True (opt-in, static-config serving): bake the LTI stages
+        into the IR at build time (StreamingChain.folded_from_ir) so the
+        per-block step is just sanitize -> NUC -> scalar gains — the
+        high-stream-count tier; requires a fused-eligible config and a
+        loaded IR.  fdl_dtype (e.g. jnp.float16) selects the stored FDL
+        spectra dtype for serving-scale state."""
         from ..runtime.streaming import StreamingChain
         cfg = self._effective_config()
         eqp = self.eq_params if not cfg.eq_bypassed else None
+        if folded:
+            import jax.numpy as jnp
+            if self._ir_prepared is None:
+                raise ValueError("folded streaming needs a loaded IR")
+            return StreamingChain.folded_from_ir(
+                cfg, eqp, jnp.asarray(self._ir_prepared, self.dtype),
+                self.filter_spec, block_size=self.block_size,
+                dtype=self.dtype, fdl_dtype=fdl_dtype,
+                donate_state=donate_state)
         left = self._conv_state.left if self._conv_state is not None else None
         right = self._conv_state.right if self._conv_state is not None else None
-        return StreamingChain(cfg, eqp, left, right, dtype=self.dtype)
+        return StreamingChain(cfg, eqp, left, right, dtype=self.dtype,
+                              fdl_dtype=fdl_dtype, donate_state=donate_state)
 
     def process_streaming(self, x, state=None):
         """Stream (..., 2, N) through the serving chain block by block.

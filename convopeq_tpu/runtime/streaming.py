@@ -314,11 +314,29 @@ class StreamingChain:
     def __init__(self, cfg, eq_params: EQParams | None,
                  conv_state: NUCState | None = None,
                  conv_state_r: NUCState | None = None, dtype=jnp.float32,
-                 donate_state: bool = False, fdl_dtype=None):
+                 donate_state: bool = False, fdl_dtype=None,
+                 folded: bool = False):
         from ..models.chain import resolve_oversampling_factor
         from ..ops.oversample import make_stages
         self.cfg = cfg
         self.eq_params = eq_params
+        # folded serving mode: the LTI stages around the convolver (input/
+        # output DC blockers, EQ, output filter) were baked into the IR at
+        # rebuild time (models.chain.prepare_folded_convolver with the
+        # 3-layer streaming plan), so the per-block step skips their scans
+        # entirely — the streaming analog of the offline folded chain and
+        # of the reference's rebuild-time spectrum precompute
+        # (MKLNonUniformConvolver.cpp:336-440).  Construct via
+        # `StreamingChain.folded_from_ir`, which checks eligibility.
+        self._folded = bool(folded)
+        if self._folded:
+            if eq_params is not None:
+                raise ValueError("folded streaming: the EQ is baked into "
+                                 "the IR — pass eq_params=None")
+            if cfg.soft_clip_enabled or conv_state is None:
+                raise ValueError("folded streaming needs an active "
+                                 "convolver and no soft clip (see "
+                                 "models.chain.fused_eligible)")
         self.left = conv_state
         self.right = conv_state_r if conv_state_r is not None else conv_state
         self.dtype = dtype
@@ -370,6 +388,40 @@ class StreamingChain:
         self._donate = (0,) if donate_state else ()
         self._step = jax.jit(self._make_step(), donate_argnums=self._donate)
         self._multi = None
+
+    # ----------------------------------------------------- folded build
+    @classmethod
+    def folded_from_ir(cls, cfg, eq_params: EQParams | None, ir, spec,
+                       block_size: int = 512, dtype=jnp.float32,
+                       donate_state: bool = False, fdl_dtype=None,
+                       eps: float = 1e-10) -> "StreamingChain":
+        """Build a FOLDED streaming chain: bake the LTI stages (DC
+        blockers, EQ, output filter, HC/LC curve) into the IR itself at
+        rebuild time, then stream with the reference's 3-layer plan — the
+        per-block step collapses to sanitize -> scalar gains -> NUC ->
+        scalar gains, with the same L0-partition latency contract as the
+        staged step.  This is the serving analog of the offline folded
+        mode (models.chain.prepare_folded_convolver): at high stream
+        counts the staged step's 20 sequential EQ band scans + DC +
+        output-filter scans dominate the per-block wall, and folding
+        removes all of them.
+
+        Eligibility = models.chain.fused_eligible: wet-only mix, no soft
+        clip / AGC / oversampling, stereo-only EQ bands, non-AIR tail.
+        Exactness: the fusion itself is exact to the prefilter truncation
+        (~7e-12 f64); streaming == offline folded chain in steady state
+        (tests/test_streaming.py::test_streaming_folded_*)."""
+        from ..models.chain import fused_eligible, prepare_folded_convolver
+        if not fused_eligible(cfg, eq_params, True):
+            raise ValueError("config is not fused-eligible (see "
+                             "models.chain.fused_eligible): needs wet-only "
+                             "mix, no soft clip/AGC/oversampling, "
+                             "stereo-only EQ bands")
+        st = prepare_folded_convolver(ir, block_size, spec, cfg, eq_params,
+                                      eps=eps, dtype=dtype, partition=None)
+        return cls(cfg, None, st.left, st.right, dtype=dtype,
+                   donate_state=donate_state, fdl_dtype=fdl_dtype,
+                   folded=True)
 
     # ------------------------------------------------------------ state
     def init_state(self, batch_shape=()) -> StreamState:
@@ -582,7 +634,10 @@ class StreamingChain:
             x = jnp.clip(x, -1.0, 1.0)
             if cfg.input_headroom_gain != 1.0:
                 x = x * cfg.input_headroom_gain
-            x, dc_in = dc_pair(x, state.dc_in, dc_a)
+            if self._folded:
+                dc_in = state.dc_in          # baked into the IR
+            else:
+                x, dc_in = dc_pair(x, state.dc_in, dc_a)
             os_up_hists = state.os_up_hists
             os_down_hists = state.os_down_hists
             dc_os = state.dc_os
@@ -615,7 +670,7 @@ class StreamingChain:
                                                               conv_args)
 
             of_states = state.of_states
-            if conv_active or eq_active:
+            if (conv_active or eq_active) and not self._folded:
                 L, R, of_states = run_output_filter(L, R, of_states)
 
             if cfg.output_makeup_gain != 1.0:
@@ -644,7 +699,10 @@ class StreamingChain:
                     sc_down_hist = uext[..., -h_dn:]
             if os_factor > 1:
                 y, os_down_hists = os_down(y, os_down_hists)
-            y, dc_out = dc_pair(y, state.dc_out, dc_a)
+            if self._folded:
+                dc_out = state.dc_out        # baked into the IR
+            else:
+                y, dc_out = dc_pair(y, state.dc_out, dc_a)
             if cfg.apply_output_headroom:
                 y = y * K_OUTPUT_HEADROOM
             return StreamState(dc_in=dc_in, dc_out=dc_out,

@@ -385,3 +385,35 @@ def test_structural_change_with_mix_change_still_crossfades():
     cats = [e.category for e in eng.telemetry.events]
     assert "crossfade" in cats, \
         "structural change was hard-switched because a mix ramp rode along"
+
+
+def test_engine_folded_streaming_matches_offline_fused():
+    """engine.streaming_chain(folded=True) bakes the LTI stages into the
+    IR; its steady-state output equals the offline folded chain built
+    from the same engine state (models.chain.process_chain_fused)."""
+    from convopeq_tpu.models.chain import (prepare_folded_convolver,
+                                           process_chain_fused)
+    eng = ConvoPeqEngine(SR, 512)
+    n_ir = 6000
+    ir = RNG.normal(size=(2, n_ir)) * np.exp(-np.arange(n_ir) / 1500.0) * 0.2
+    eng.load_impulse_response(ir, SR, target_seconds=n_ir / SR)
+    eng.set_eq_band(0, band_type=1, freq=800.0, gain_db=4.0, q=1.0)
+
+    sc = eng.streaming_chain(folded=True)
+    assert sc.block_size == 512
+
+    cfg = eng._effective_config()
+    st = prepare_folded_convolver(
+        jnp.asarray(eng._ir_prepared, eng.dtype), eng.block_size,
+        eng.filter_spec, cfg, eng.eq_params, dtype=eng.dtype,
+        partition=None)
+    n = 32768
+    x = RNG.normal(size=(2, n)) * 0.3
+    y_off = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st))
+    y, _ = sc.process(jnp.asarray(x))
+    y = np.asarray(y)
+    warmup = max(lp.offset + 2 * lp.part_size for lp in sc.left.plan.layers)
+    sl = slice(warmup, n)
+    ref = np.sqrt(np.mean(y_off[..., sl] ** 2))
+    err = np.sqrt(np.mean((y[..., sl] - y_off[..., sl]) ** 2)) / ref
+    assert err < 1e-9, err

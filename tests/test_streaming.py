@@ -294,3 +294,59 @@ def test_streaming_amortized_tail_equals_offline():
     err = (np.sqrt(np.mean((y[..., sl] - off_chain[..., sl]) ** 2))
            / np.sqrt(np.mean(off_chain[..., sl] ** 2)))
     assert err < 1e-9, err
+
+
+@pytest.mark.slow
+def test_streaming_folded_matches_offline_fused():
+    """Folded streaming (LTI stages baked into the IR at rebuild time,
+    3-layer streaming plan) == the offline folded chain in steady state,
+    and == the STAGED streaming chain up to the prefilter truncation —
+    the serving analog of the offline folded mode."""
+    from convopeq_tpu.models.chain import (
+        fused_eligible, prepare_folded_convolver, process_chain_fused)
+    n_ir = 20000
+    ir = RNG.normal(size=(2, n_ir)) * np.exp(-np.arange(n_ir) / 4000.0) * 0.2
+    spec = FilterSpec(sample_rate=SR)     # TAIL_CONTOUR: fused-eligible
+    eqp = _params(2)                      # stereo-only bands
+    cfg = ChainConfig(sample_rate=SR, eq_method="scan",
+                      input_headroom_gain=0.9, output_makeup_gain=1.1,
+                      convolver_input_trim_gain=0.95, order=1)
+    assert fused_eligible(cfg, eqp, True)
+
+    sc = StreamingChain.folded_from_ir(cfg, eqp, jnp.asarray(ir), spec,
+                                       block_size=512, dtype=jnp.float64)
+    assert sc.block_size == 512
+    plan = sc.left.plan
+    assert len(plan.layers) >= 2          # the folded IR spans tail layers
+
+    n = 65536
+    x = RNG.normal(size=(2, n)) * 0.3
+    y_stream, _ = sc.process(jnp.asarray(x))
+    y_stream = np.asarray(y_stream)
+
+    # 1) == offline folded chain (same conv state) after tail warmup
+    st = prepare_folded_convolver(jnp.asarray(ir), 512, spec, cfg, eqp,
+                                  dtype=jnp.float64, partition=None)
+    y_off = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st))
+    warmup = max(lp.offset + 2 * lp.part_size for lp in plan.layers)
+    sl = slice(warmup, n)
+    ref = np.sqrt(np.mean(y_off[..., sl] ** 2))
+    err = np.sqrt(np.mean((y_stream[..., sl] - y_off[..., sl]) ** 2)) / ref
+    assert err < 1e-9, err
+    # (folded == staged exact cascade is pinned offline by
+    # test_fused_chain_matches_exact_cascade; this test pins the
+    # streaming step against the offline folded chain.)
+
+
+def test_streaming_folded_rejects_ineligible():
+    from convopeq_tpu.models.chain import ChainConfig
+    ir = RNG.normal(size=(2, 4000)) * 0.1
+    spec = FilterSpec(sample_rate=SR, tail_mode=TAIL_BYPASS)
+    with pytest.raises(ValueError):
+        StreamingChain.folded_from_ir(
+            ChainConfig(sample_rate=SR, soft_clip_enabled=True),
+            None, jnp.asarray(ir), spec)
+    with pytest.raises(ValueError):
+        StreamingChain.folded_from_ir(
+            ChainConfig(sample_rate=SR, wet_dry_mix=0.5),
+            None, jnp.asarray(ir), spec)

@@ -41,6 +41,12 @@ def main():
                     help="stored FDL spectra dtype (float16 halves the "
                          "dominant per-stream state; MAC still accumulates "
                          "in float32 — the high-stream-count serving tier)")
+    ap.add_argument("--folded", action="store_true",
+                    help="folded serving: bake the LTI stages (DC "
+                         "blockers, EQ, output filter) into the IR at "
+                         "build time (StreamingChain.folded_from_ir) so "
+                         "the per-block step is sanitize -> NUC -> scalar "
+                         "gains — the throughput tier for static configs")
     args = ap.parse_args()
 
     import jax
@@ -59,13 +65,25 @@ def main():
     eqp = EQParams()
     eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
     cfg = ChainConfig(sample_rate=SR)
-    nuc = nuc_prepare(jax.device_put(jnp.asarray(ir, jnp.float32), dev),
-                      BLOCK, FilterSpec(sample_rate=SR))
+    spec = FilterSpec(sample_rate=SR)
+    if args.folded:
+        # the LTI stages fold into the IR once at build time; stream
+        # counts then share the prepared state (per-channel H spectra)
+        from convopeq_tpu.models.chain import prepare_folded_convolver
+        folded_st = prepare_folded_convolver(
+            jnp.asarray(ir, jnp.float32), BLOCK, spec, cfg, eqp,
+            dtype=jnp.float32, partition=None)
+        nuc = (folded_st.left, folded_st.right)
+    else:
+        nuc = nuc_prepare(jax.device_put(jnp.asarray(ir, jnp.float32), dev),
+                          BLOCK, spec)
 
     fdl_dtype = jnp.float16 if args.fdl_dtype == "float16" else jnp.float32
     # f16-FDL runs land in their own tier so both precision tiers stay
     # in one artifact; "per_streams" remains the f32 tier of record
     tier = "per_streams" if args.fdl_dtype == "float32" else "per_streams_f16"
+    if args.folded:
+        tier += "_folded"
 
     budget_ms = BLOCK / SR * 1e3
     results = {"device": str(dev), "block": BLOCK, "sample_rate": SR,
@@ -81,7 +99,8 @@ def main():
                 prev = json.load(f)
             if prev.get("ir_taps") == args.ir_taps and \
                     prev.get("blocks") == args.blocks:
-                for k in ("per_streams", "per_streams_f16"):
+                for k in ("per_streams", "per_streams_f16",
+                          "per_streams_folded", "per_streams_f16_folded"):
                     if k in prev:
                         results[k] = prev[k]
         except Exception:
@@ -115,8 +134,14 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
         # donate_state: XLA updates the carried state in place — without
         # it two live FDL copies (16 MB/stream at 1M taps) OOM the
         # windowed modes at 256 streams on a 16 GB chip
-        sc = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32,
-                            donate_state=True, fdl_dtype=fdl_dtype)
+        if args.folded:
+            left, right = nuc
+            sc = StreamingChain(cfg, None, left, right, dtype=jnp.float32,
+                                donate_state=True, fdl_dtype=fdl_dtype,
+                                folded=True)
+        else:
+            sc = StreamingChain(cfg, eqp, nuc, dtype=jnp.float32,
+                                donate_state=True, fdl_dtype=fdl_dtype)
         state = sc.init_state((ns,))
         # pre-stage ALL input blocks on device: the serving loop should
         # measure the step, not host->device input transfer of test data
