@@ -23,11 +23,16 @@ if [ "${rc[bench_all]}" -eq 0 ]; then
   grep '^{' /tmp/refresh_bench_all.log > BENCH_ALL.jsonl
 fi
 run tpu_parity     python tools/tpu_parity.py
-run serving        python tools/serving_bench.py
-run serving_f16    python tools/serving_bench.py --fdl-dtype float16
+# --blocks must match across runs: SERVING.json merges tiers only when
+# the block count agrees with the artifact of record (1600)
+run serving        python tools/serving_bench.py --blocks 1600
+run serving_f16    python tools/serving_bench.py --blocks 1600 --fdl-dtype float16
+run serving_folded python tools/serving_bench.py --blocks 1600 --folded
+run serving_f16_folded python tools/serving_bench.py --blocks 1600 --folded --fdl-dtype float16
 run profile        python tools/profile_headline.py
 
 echo "=== summary"
-for k in bench_headline bench_all tpu_parity serving serving_f16 profile; do
+for k in bench_headline bench_all tpu_parity serving serving_f16 \
+         serving_folded serving_f16_folded profile; do
   echo "$k: rc=${rc[$k]} (log /tmp/refresh_$k.log)"
 done

@@ -152,8 +152,17 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
         # jitted scalar fence: eager-slice readback is UNIMPLEMENTED on the
         # tunneled backend, so reduce through a tiny jitted fn instead
         reduce1 = jax.jit(lambda v: jnp.sum(v[..., -1]))
-        # warm up + compile
+        # warm up + compile — TWICE, chained through the output state:
+        # the first step consumes the init-state layout, the second the
+        # jit's OUTPUT-state layout, which otherwise recompiles on the
+        # second timed step (observed as a one-off 12-29 s window stall).
+        # Compiles happen off the audio thread in a real deployment
+        # (the reference builds plans in prepareToPlay / the rebuild
+        # thread), so excluding them from the timed loop is the honest
+        # contract.
         state, y = sc.step(state, blocks[0])
+        float(reduce1(y))
+        state, y = sc.step(state, blocks[1])
         float(reduce1(y))
         state = sc.init_state((ns,))
 
@@ -199,7 +208,11 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
             mblocks = [jax.device_put(jnp.asarray(
                 rng.normal(size=(ns, 2, BLOCK * M)) * 0.25, jnp.float32),
                 dev) for _ in range(8)]
+            # double warmup: init-state AND output-state layouts (see
+            # the per-block mode comment)
             state, y = sc.multi_step(state, mblocks[0])
+            float(reduce1(y))
+            state, y = sc.multi_step(state, mblocks[1])
             float(reduce1(y))
             state = sc.init_state((ns,))
             xrun_m = XrunDetector(SR, BLOCK * M)
