@@ -30,6 +30,10 @@ manifest-hash contract:
   learner_report.json             adaptive-shaper banks + live session
   crossfade_trace.json            transition-authority activations
   world_lifecycle_audit.json      IR generation lifecycle
+  latency_report.json             LatencyBreakdown of record
+  convolver_build_report.json     per-channel NUC partition plan
+  gain_plan_report.json           AutoGainPlanner staging decision
+  dsp_chain_report.json           live stage order/topology snapshot
   evidence_manifest.json          artifact list + sha256 each
   verifier_manifest_hash.txt      sha256 of the manifest file
 """
@@ -258,6 +262,87 @@ class EvidenceExporter:
             "ir_scale": eng._ir_scale,
         }
 
+    def latency_report(self) -> dict:
+        """Latency audit (the reference exports its LatencyBreakdown via
+        getCurrentLatencyBreakdown, AudioEngine.Processing.Latency.cpp:80;
+        the report family mirrors that surface)."""
+        lb = self.engine.latency_breakdown()
+        return {
+            "algorithm_latency_samples": lb.algorithm_latency_samples,
+            "ir_peak_latency_samples": lb.ir_peak_latency_samples,
+            "oversampling_latency_samples": lb.oversampling_latency_samples,
+            "softclip_latency_samples": lb.softclip_latency_samples,
+            "total_latency_samples": lb.total_latency_samples,
+            "total_latency_ms": round(lb.total_latency_samples /
+                                      self.engine.sample_rate * 1e3, 3),
+        }
+
+    def convolver_build_report(self) -> dict:
+        """NUC build audit: the per-channel partition plan of record —
+        the analog of the reference's convolver build/rebuild reports
+        (layer sizing at MKLNonUniformConvolver.cpp:738-758)."""
+        eng = self.engine
+        if eng._conv_state is None:
+            return {"ir_loaded": False, "channels": []}
+        chans = []
+        for name, st in (("left", eng._conv_state.left),
+                         ("right", eng._conv_state.right)):
+            plan = st.plan
+            chans.append({
+                "channel": name,
+                "direct_taps": int(plan.direct_taps),
+                "layers": [{
+                    "offset": lp.offset, "length": lp.length,
+                    "part_size": lp.part_size, "num_parts": lp.num_parts,
+                    "gain": lp.gain,
+                    "damped": lp.damping is not None,
+                } for lp in plan.layers],
+            })
+        return {"ir_loaded": True, "block_size": eng.block_size,
+                "channels": chans}
+
+    def gain_plan_report(self) -> dict:
+        """AutoGainPlanner plan of record (the reference audits its gain
+        staging decisions the same way)."""
+        eng = self.engine
+        p = eng.auto_gain_plan()
+        lin = p.linear()
+        return {"auto_gain_enabled": eng.auto_gain_enabled,
+                "input_headroom_db": p.input_headroom_db,
+                "output_makeup_db": p.output_makeup_db,
+                "convolver_input_trim_db": p.convolver_input_trim_db,
+                "linear": {"input_headroom": lin[0],
+                           "output_makeup": lin[1],
+                           "convolver_input_trim": lin[2]}}
+
+    def dsp_chain_report(self) -> dict:
+        """Stage-order/topology audit: which stages are live and in what
+        order (the ProcessingState snapshot the reference's DSPCore
+        reports describe, AudioEngine.h:822-848)."""
+        from ..models.chain import resolve_oversampling_factor
+        eng = self.engine
+        cfg = eng.config
+        os_factor = resolve_oversampling_factor(cfg.oversampling_factor,
+                                                eng.sample_rate)
+        return {
+            "order": ("eq_then_convolver" if cfg.order == 0
+                      else "convolver_then_eq"),
+            "eq_bypassed": cfg.eq_bypassed,
+            "conv_bypassed": cfg.conv_bypassed,
+            "oversampling": {"requested": cfg.oversampling_factor,
+                             "resolved": os_factor,
+                             "preset": cfg.oversampling_preset},
+            "soft_clip_enabled": cfg.soft_clip_enabled,
+            "saturation_amount": cfg.saturation_amount,
+            "wet_dry_mix": cfg.wet_dry_mix,
+            "output_conditioning": {"conv_hc_mode": cfg.conv_hc_mode,
+                                    "conv_lc_mode": cfg.conv_lc_mode,
+                                    "eq_lpf_mode": cfg.eq_lpf_mode},
+            "dither": {"type": eng.dither_type,
+                       "bit_depth": eng.dither_bit_depth},
+            "eq_method": cfg.eq_method,
+        }
+
     # ------------------------------------------------------------- export
     BUILDERS = {
         "runtime_snapshot.json": runtime_snapshot,
@@ -272,6 +357,10 @@ class EvidenceExporter:
         "learner_report.json": learner_report,
         "crossfade_trace.json": crossfade_trace,
         "world_lifecycle_audit.json": world_lifecycle_audit,
+        "latency_report.json": latency_report,
+        "convolver_build_report.json": convolver_build_report,
+        "gain_plan_report.json": gain_plan_report,
+        "dsp_chain_report.json": dsp_chain_report,
     }
 
     def export(self, directory) -> dict:

@@ -111,6 +111,32 @@ def test_artifact_contents_reflect_engine_activity(tmp_path):
     assert learner["session_active"] is False
     assert learner["banks_populated"] == 0
 
+    lat = load("latency_report.json")
+    assert lat["algorithm_latency_samples"] >= 512   # NUC active
+    assert lat["total_latency_samples"] == (
+        lat["algorithm_latency_samples"] + lat["ir_peak_latency_samples"]
+        + lat["oversampling_latency_samples"]
+        + lat["softclip_latency_samples"])
+
+    build = load("convolver_build_report.json")
+    assert build["ir_loaded"] is True
+    assert {c["channel"] for c in build["channels"]} == {"left", "right"}
+    for ch in build["channels"]:
+        assert sum(lp["length"] for lp in ch["layers"]) + \
+            ch["direct_taps"] >= 4096   # covers the loaded IR
+        for lp in ch["layers"]:
+            assert lp["num_parts"] >= 1 and lp["part_size"] >= 32
+
+    gp = load("gain_plan_report.json")
+    assert gp["auto_gain_enabled"] is False
+    assert gp["linear"]["input_headroom"] == pytest.approx(
+        10.0 ** (gp["input_headroom_db"] / 20.0))
+
+    chain = load("dsp_chain_report.json")
+    assert chain["order"] in ("eq_then_convolver", "convolver_then_eq")
+    assert chain["oversampling"]["resolved"] >= 1
+    assert chain["dither"] == {"type": 0, "bit_depth": 0}
+
 
 def test_run_id_env_override(tmp_path, monkeypatch):
     # framework-native name wins, reference name honored as fallback
