@@ -112,11 +112,18 @@ def test_artifact_contents_reflect_engine_activity(tmp_path):
     assert learner["banks_populated"] == 0
 
     lat = load("latency_report.json")
-    assert lat["algorithm_latency_samples"] >= 512   # NUC active
-    assert lat["total_latency_samples"] == (
-        lat["algorithm_latency_samples"] + lat["ir_peak_latency_samples"]
-        + lat["oversampling_latency_samples"]
-        + lat["softclip_latency_samples"])
+    # concrete expected values for THIS config (block 512, no OS, no
+    # soft clip, IR peak at sample 0) — and the exported report must
+    # agree field-for-field with the live engine breakdown
+    bd = eng.latency_breakdown()
+    assert lat["algorithm_latency_samples"] == \
+        bd.algorithm_latency_samples == 512      # = L0 partition size
+    assert lat["oversampling_latency_samples"] == \
+        bd.oversampling_latency_samples == 0     # os_factor 1
+    assert lat["softclip_latency_samples"] == \
+        bd.softclip_latency_samples == 0         # soft clip disabled
+    assert lat["ir_peak_latency_samples"] == bd.ir_peak_latency_samples
+    assert lat["total_latency_samples"] == bd.total_latency_samples
 
     build = load("convolver_build_report.json")
     assert build["ir_loaded"] is True
