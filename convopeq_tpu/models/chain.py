@@ -238,10 +238,15 @@ def fused_eligible(cfg: ChainConfig, eq_params: EQParams | None,
 
 
 def fused_prefilter_ir(cfg: ChainConfig, eq_params: EQParams | None,
-                       eps: float = 1e-10, spec=None):
+                       eps: float = 1e-10, spec=None, dc_passes: int = 2):
     """Host-f64 impulse response of the folded LTI stages: dc_in(3 Hz) *
     [EQ] * output_filter * dc_out(3 Hz) * [HC/LC spectrum-filter curve,
-    applied linearly when `spec` is given].  Returns (tail,) float64."""
+    applied linearly when `spec` is given].  Returns (tail,) float64.
+
+    dc_passes: how many 3 Hz DC-blocker passes to fold (2 = input AND
+    output blocker; 1 = input only — the semi-fused soft-clip chain
+    keeps the output blocker AFTER the nonlinearity, where it lives in
+    the staged order)."""
     import numpy as np
     from ..ops.dc_blocker import dc_blocker_alphas
     from ..ops.scan_iir import _biquad_pole_radius
@@ -274,9 +279,9 @@ def fused_prefilter_ir(cfg: ChainConfig, eq_params: EQParams | None,
     w = 2.0 * np.pi * np.arange(m // 2 + 1) / m
     z = np.exp(1j * w)
 
-    # dc blockers (x2): per one-pole stage H(z) = (1-a)(z-1)/(z-(1-a))
+    # dc blockers: per one-pole stage H(z) = (1-a)(z-1)/(z-(1-a))
     H = np.ones(m // 2 + 1, complex)
-    for _ in range(2):
+    for _ in range(dc_passes):
         for a in dc_blocker_alphas(sr, 3.0):
             H *= (1.0 - a) * (z - 1.0) / (z - (1.0 - a))
     # output filter biquads
@@ -394,7 +399,9 @@ def throughput_partition_size(ir_len: int, f64: bool = False) -> int:
 
 def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
                              eq_params: EQParams | None, eps: float = 1e-10,
-                             dtype=None, partition: int | str | None = "auto"):
+                             dtype=None, partition: int | str | None = "auto",
+                             dc_passes: int = 2,
+                             fold_spectrum_curve: bool = True):
     """Deepest static-config fusion: host-convolve the folded LTI
     prefilter (dc blockers, EQ, output filter, HC/LC curve) into the IR
     ITSELF, then prepare the NUC on the combined response — the runtime
@@ -440,7 +447,9 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
     for lp in base.layers:
         if lp.gain != 1.0:
             h_eff[:, lp.offset:lp.offset + lp.length] *= lp.gain
-    g = fused_prefilter_ir(cfg, eq_params, eps, spec=spec)
+    g = fused_prefilter_ir(cfg, eq_params, eps,
+                           spec=spec if fold_spectrum_curve else None,
+                           dc_passes=dc_passes)
     m = next_pow2(ir.shape[-1] + g.shape[0] - 1)
     combined = np.fft.irfft(np.fft.rfft(h_eff, m) * np.fft.rfft(g, m),
                             m)[:, :ir.shape[-1] + g.shape[0] - 1]
@@ -454,6 +463,248 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
         return StereoConvolverState(
             left=nuc_prepare_uniform(cj[0], int(partition), block_size),
             right=nuc_prepare_uniform(cj[1], int(partition), block_size))
+    return stereo_prepare(jnp.asarray(combined, dtype), block_size, spec,
+                          apply_spectrum_filter=False,
+                          unit_layer_gains=True)
+
+
+def prepare_semi_folded_convolver(ir, block_size: int, spec,
+                                  cfg: ChainConfig,
+                                  eq_params: EQParams | None,
+                                  eps: float = 1e-10, dtype=None,
+                                  partition: int | str | None = "auto",
+                                  fold_spectrum_curve: bool = True):
+    """Partial fold for SOFT-CLIP chains: the LTI prefix (input DC
+    blockers, EQ, convolver with layer gains, output filter, HC/LC
+    curve) folds into the IR; the nonlinear suffix (makeup -> soft clip
+    -> output DC blocker -> headroom/dither) stays staged in the exact
+    reference order (process_chain steps 4-8, DSPCoreDouble.cpp:453-
+    660).  Pair with `process_chain_semi_fused`.  This is what makes
+    bench config6 (full chain + dither at 384 kHz) ride the folded NUC
+    kernels: the full fold is ineligible (soft clip is nonlinear), but
+    everything BEFORE the clip is one LTI cascade."""
+    if not cfg.soft_clip_enabled:
+        raise ValueError("use prepare_folded_convolver when soft clip is "
+                         "off (the full fold is strictly better)")
+    if cfg.wet_dry_mix < 1.0:
+        raise ValueError("wet/dry mixing does not fold")
+    lin_cfg = ChainConfig(**{**cfg.__dict__, "soft_clip_enabled": False})
+    return prepare_folded_convolver(ir, block_size, spec, lin_cfg,
+                                    eq_params, eps, dtype, partition,
+                                    dc_passes=1,
+                                    fold_spectrum_curve=fold_spectrum_curve)
+
+
+def process_chain_semi_fused(x, cfg: ChainConfig, conv_state):
+    """Runtime for `prepare_semi_folded_convolver`: sanitize -> scalar
+    pre-gains -> folded NUC (dc_in + EQ + conv + output filter) ->
+    makeup -> soft clip -> output DC blocker -> headroom.  Matches the
+    staged process_chain order exactly (soft clip and the output DC
+    blocker do not commute with the fold, so they run staged)."""
+    from ..ops.dc_blocker import dc_block
+    from ..ops.softclip import soft_clip, soft_clip_params
+    from ..ops.oversample import (design_halfband, oversample_up,
+                                  oversample_down)
+    x = jnp.asarray(x)
+    x = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
+    x = jnp.clip(x, -1.0, 1.0)
+    pre = cfg.input_headroom_gain * (
+        cfg.convolver_input_trim_gain
+        if cfg.order != CONVOLVER_THEN_EQ else 1.0)
+    if pre != 1.0:
+        x = x * pre
+    y = convolver_process(x, conv_state, 1.0)
+    if cfg.output_makeup_gain != 1.0:
+        y = y * cfg.output_makeup_gain
+    thr, knee, asym = soft_clip_params(cfg.saturation_amount)
+    os_factor = resolve_oversampling_factor(cfg.oversampling_factor,
+                                            cfg.sample_rate)
+    if os_factor > 1:
+        raise ValueError("semi-fused chain is single-rate (oversampled "
+                         "soft-clip configs run staged)")
+    st = [design_halfband(31, 90.0)]       # local 2x wrap (prepareSingleStage)
+    u = oversample_up(y, st)
+    u = soft_clip(u, thr, knee, asym)
+    y = oversample_down(u, st)
+    y, _ = dc_block(y, cfg.sample_rate, 3.0)
+    if cfg.apply_output_headroom:
+        y = y * K_OUTPUT_HEADROOM
+    return y
+
+
+def _os_composite_taps(stages, for_up: bool):
+    """Dense taps of the whole up (or down) halfband cascade at the final
+    processing rate, by the noble identity: each stage's polyphase-merged
+    filter (ops/oversample._stage_full_response) is zero-stuffed to the
+    final rate and the results convolve.  Up cascade (stage order 0..k):
+    G = g_k * stuff2(g_{k-1}) * stuff4(g_{k-2}) ...; the down cascade
+    (applied reversed) has the same structure with the decimator taps."""
+    import numpy as np
+    from ..ops.oversample import _stage_full_response
+    G = np.ones(1, np.float64)
+    for i, st in enumerate(stages):
+        g = _stage_full_response(st, for_up)
+        stuff = 2 ** (len(stages) - 1 - i)
+        if stuff > 1:
+            gs = np.zeros((len(g) - 1) * stuff + 1, np.float64)
+            gs[::stuff] = g
+            g = gs
+        G = np.convolve(G, g)
+    return G
+
+
+def prepare_folded_convolver_oversampled(
+        ir_hf, block_size: int, spec, cfg: ChainConfig,
+        eq_params: EQParams | None, eps: float = 1e-10, dtype=None,
+        partition: int | str | None = "auto",
+        fold_spectrum_curve: bool = True):
+    """Fold the ENTIRE oversampled static chain into one base-rate IR.
+
+    The staged chain (process_chain with os_factor L > 1) is, for a
+    static linear config (soft clip off, wet-only, AGC off, diagonal EQ),
+    the LTI cascade  up-FIRs -> dc_os(1 Hz) -> [EQ] -> conv(IR at the
+    processing rate, DSPCoreLifecycle.cpp:192 'processingRate = sr * L')
+    -> output filter -> down-FIRs  sandwiched between the base-rate
+    input/output DC blockers.  Upsample-by-L -> LTI -> decimate-by-L is
+    itself exactly LTI at base rate (polyphase identity): with composite
+    interpolator G_u and decimator G_d (at the processing rate),
+
+        h_eq[n] = (G_d * h_hf_chain * G_u)[L n]
+
+    — no approximation beyond the same eps pole-tail truncation the
+    base-rate fold uses.  The runtime chain is then the standard folded
+    path (sanitize -> NUC -> scalar gains, `process_chain_fused` with
+    prefilter=None), which is how bench config3 rides the headline
+    kernels.  The OS FIR group delay (the reference's reported
+    oversampling latency, AudioEngine.Processing.Latency.cpp:22-23) is
+    carried inside h_eq as its leading zeros — identical to the staged
+    path's output alignment.
+
+    `ir_hf`: the impulse response AT THE PROCESSING RATE (the reference
+    loader resamples the IR to processingRate; use ir/resample.py).
+    Layer contour gains of the high-rate plan (block_size * L per
+    processingBlockSize) are baked in; AIR damping stays ineligible, and
+    the HC/LC spectrum curve folds linearly (same documented variant as
+    prepare_folded_convolver).  EQ must be diagonal stereo (M/S bands
+    mix channels) with AGC/saturation off, as in fused_eligible.
+    """
+    import numpy as np
+    from ..ops.dc_blocker import dc_blocker_alphas
+    from ..ops.scan_iir import _biquad_pole_radius
+    from .convolver import StereoConvolverState
+    from .nuc import nuc_prepare_uniform, plan_layers, spectrum_filter_gain
+    from .output_filter import output_filter_coeffs, IDENTITY
+
+    sr = cfg.sample_rate
+    L = resolve_oversampling_factor(cfg.oversampling_factor, sr)
+    if L == 1:
+        return prepare_folded_convolver(ir_hf, block_size, spec, cfg,
+                                        eq_params, eps, dtype, partition)
+    if cfg.soft_clip_enabled:
+        raise ValueError("soft clip is nonlinear; the OS chain cannot fold")
+    if cfg.wet_dry_mix < 1.0:
+        raise ValueError("wet/dry mixing does not fold (dry path bypasses "
+                         "the conv)")
+    proc = sr * L
+    block_hf = block_size * L
+
+    ir_hf = np.asarray(ir_hf, np.float64)
+    if ir_hf.ndim == 1:
+        ir_hf = np.stack([ir_hf, ir_hf])
+    base = plan_layers(ir_hf.shape[-1], block_hf, spec)
+    if any(lp.damping is not None for lp in base.layers):
+        raise ValueError("AIR tail mode (per-layer damping) cannot be "
+                         "folded into the IR")
+    h_eff = ir_hf.copy()
+    for lp in base.layers:
+        if lp.gain != 1.0:
+            h_eff[:, lp.offset:lp.offset + lp.length] *= lp.gain
+
+    # ---- high-rate section: G_u * dc_os * [EQ] * h_eff * outfilt *
+    # [HC/LC curve] * G_d, all sampled on one proc-rate DFT grid
+    g_up = _os_composite_taps(make_stages(L, cfg.oversampling_preset), True)
+    g_dn = _os_composite_taps(make_stages(L, cfg.oversampling_preset), False)
+
+    eq_active = (not cfg.eq_bypassed) and eq_params is not None
+    if eq_active:
+        if eq_params.agc_enabled or float(eq_params.saturation) > 0.0:
+            raise ValueError("AGC / saturated EQ is not LTI; cannot fold")
+        from .eq import band_active_mask, STEREO, _eq_ring_tail_samples
+        active = band_active_mask(eq_params)
+        if not all(int(eq_params.modes[b]) == STEREO
+                   for b in range(len(active)) if active[b]):
+            raise ValueError("M/S EQ bands mix channels; one IR per "
+                             "channel cannot fold them")
+
+    # truncation: slowest pole among the 1 Hz oversampled DC blockers,
+    # the output-filter biquads and the EQ ring tail, at the proc rate
+    radii = [1.0 - a for a in dc_blocker_alphas(proc, 1.0)]
+    ofc = output_filter_coeffs(proc)
+    conv_is_last = not eq_active or cfg.order == EQ_THEN_CONVOLVER
+    if conv_is_last:
+        stages_of = [ofc["hc"][cfg.conv_hc_mode][0],
+                     ofc["hc"][cfg.conv_hc_mode][1],
+                     ofc["lc"][cfg.conv_lc_mode]]
+    else:
+        stages_of = [ofc["hpf"], ofc["lp"][cfg.eq_lpf_mode][0],
+                     ofc["lp"][cfg.eq_lpf_mode][1]]
+    for c in stages_of:
+        if tuple(c) != IDENTITY:
+            radii.append(_biquad_pole_radius(c[3], c[4]))
+    eq_tail = _eq_ring_tail_samples(eq_params, proc, eps) if eq_active else 0
+    rmax = min(max(radii), 1.0 - 1e-12)
+    tail_hf = max(int(np.ceil(np.log(eps) / np.log(rmax))), eq_tail, 256)
+    total_hf = (ir_hf.shape[-1] + len(g_up) + len(g_dn) + tail_hf)
+    m = next_pow2(total_hf)
+    w = 2.0 * np.pi * np.arange(m // 2 + 1) / m
+    z = np.exp(1j * w)
+
+    H = np.fft.rfft(g_up, m) * np.fft.rfft(g_dn, m)
+    for a in dc_blocker_alphas(proc, 1.0):
+        H *= (1.0 - a) * (z - 1.0) / (z - (1.0 - a))
+    for c in stages_of:
+        if tuple(c) != IDENTITY:
+            b0, b1, b2, a1, a2 = c
+            H *= (b0 * z * z + b1 * z + b2) / (z * z + a1 * z + a2)
+    if eq_active:
+        from .eq import _band_matrix_response
+        freqs = np.arange(m // 2 + 1) * (proc / m)
+        h11, _h12, _h21, _h22 = _band_matrix_response(eq_params, proc, freqs)
+        H = H * h11
+    if spec is not None and fold_spectrum_curve:
+        # linear-grid variant of the per-partition circular HC/LC filter
+        # (same documented divergence as prepare_folded_convolver);
+        # fold_spectrum_curve=False pairs with a staged NUC prepared
+        # apply_spectrum_filter=False for exactness tests
+        H = H * spectrum_filter_gain(m, spec)
+    Hc = np.fft.rfft(h_eff, m) * H            # (2, m//2+1)
+    h_hf = np.fft.irfft(Hc, m)[:, :total_hf]
+    h_dec = h_hf[:, ::L]                       # polyphase identity
+
+    # ---- base-rate section: input + output 3 Hz DC blockers
+    tail_b = max(int(np.ceil(np.log(eps) / np.log(min(
+        [1.0 - a for a in dc_blocker_alphas(sr, 3.0)])))), 256)
+    nb = h_dec.shape[-1] + tail_b
+    mb = next_pow2(nb)
+    wb = 2.0 * np.pi * np.arange(mb // 2 + 1) / mb
+    zb = np.exp(1j * wb)
+    Hb = np.ones(mb // 2 + 1, complex)
+    for _ in range(2):
+        for a in dc_blocker_alphas(sr, 3.0):
+            Hb *= (1.0 - a) * (zb - 1.0) / (zb - (1.0 - a))
+    combined = np.fft.irfft(np.fft.rfft(h_dec, mb) * Hb, mb)[:, :nb]
+
+    if dtype is None:
+        dtype = jnp.zeros(()).dtype
+    if partition is not None:
+        if partition == "auto":
+            partition = throughput_partition_size(
+                combined.shape[-1], f64=(jnp.dtype(dtype) == jnp.float64))
+        cj = jnp.asarray(combined, dtype)
+        return StereoConvolverState(
+            left=nuc_prepare_uniform(cj[0], int(partition), block_size),
+            right=nuc_prepare_uniform(cj[1], int(partition), block_size))
+    from .convolver import stereo_prepare
     return stereo_prepare(jnp.asarray(combined, dtype), block_size, spec,
                           apply_spectrum_filter=False,
                           unit_layer_gains=True)

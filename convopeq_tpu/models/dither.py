@@ -487,13 +487,24 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
             key = jax.random.PRNGKey(0)
         uniforms = jax.random.uniform(key, x.shape + (2,), dtype=x.dtype)
     stateful = state is not None or return_state
-    if shaper_type in (PSYCHOACOUSTIC, FIXED4, FIXED15) \
-            and not stateful and _use_pallas_quantizer(x):
+    if shaper_type in (PSYCHOACOUSTIC, FIXED4, FIXED15, ADAPTIVE9) \
+            and not stateful and _use_pallas_quantizer(x) \
+            and (shaper_type != ADAPTIVE9
+                 or not isinstance(adaptive_coeffs, jax.core.Tracer)):
         from ..ops.pallas_kernels import error_feedback_quantize
         if shaper_type == PSYCHOACOUSTIC:
             coeffs, mode = psycho_coeffs(sample_rate, bit_depth), "psycho"
         elif shaper_type == FIXED4:
             coeffs, mode = fixed4_coeffs(sample_rate), "fixed"
+        elif shaper_type == ADAPTIVE9:
+            # the kernel bakes coefficients in as scalars, so a traced
+            # candidate array (the learner's vmap path) falls through to
+            # the scan kernel above this gate
+            k9 = np.zeros(NS_ORDER_LATTICE) if adaptive_coeffs is None \
+                else np.asarray(adaptive_coeffs, np.float64)
+            coeffs = np.clip(np.nan_to_num(k9),
+                             -LATTICE_COEFF_LIMIT, LATTICE_COEFF_LIMIT)
+            mode = "lattice"
         else:
             coeffs, mode = fixed15_coeffs(sample_rate), "fixed15"
         scale, _ = quant_scales(bit_depth)

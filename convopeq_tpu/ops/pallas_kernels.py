@@ -48,7 +48,9 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                             headroom: float,
                             mode: str = "psycho",
                             chunk: int = 512,
-                            interpret=None):
+                            interpret=None,
+                            state=None,
+                            return_state: bool = False):
     """Sequential error-feedback quantizer, batched over VPU lanes.
 
     x:  (R, N) signal rows (streams x channels flattened).
@@ -63,8 +65,20 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                  (FixedNoiseShaper)
       "fixed15" — same, plus Fixed15Tap's post-round integer-range clamp
                  (q clamped to [-1, 1-scale], Fixed15TapNoiseShaper.h:343)
-    Returns q: (R, N).  Bit-compatible with the lax.scan reference kernels
-    in models/dither.py (same op order, same rounding).
+      "lattice" — LatticeNoiseShaper (LatticeNoiseShaper.h:229-295):
+                 tmp = x*h + c.s (ladder tap-out); q = quantize(tmp) with
+                 the integer-range clamp; err = clamp(q - tmp, +-2 scale)
+                 drives the lattice-ladder state advance with per-stage
+                 clamp +-2.0.  coeffs must arrive pre-clamped to the
+                 +-0.85 reflection limit (models/dither.py does this).
+    state: optional (R, order) shaper carry (error history / ladder
+        state, matching the lax.scan kernels' state layout); zeros when
+        None.  return_state=True additionally returns the final (R,
+        order) carry — together these give the streaming/serving path a
+        Pallas-rate stateful quantizer.
+    Returns q: (R, N), or (q, state_out).  Bit-compatible with the
+    lax.scan reference kernels in models/dither.py (same op order, same
+    rounding).
     """
     if not HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
@@ -90,12 +104,22 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
     inv_scale = 1.0 / scale
     err_lim = 2.0 * scale
 
-    def kernel(x_ref, d_ref, q_ref, z_ref):
+    if state is None:
+        s0 = jnp.zeros((order, rp), dt)
+    else:
+        s0 = jnp.pad(jnp.asarray(state, dt).T, [(0, 0), (0, rp - r)])
+    # Without the mask the padded tail keeps advancing the carry past
+    # sample n; only the stateful path pays for the per-sample guard.
+    mask_tail = return_state and npad != n
+
+    def kernel(s0_ref, x_ref, d_ref, q_ref, zout_ref, z_ref):
         step0 = pl.program_id(0) == 0
+        if mask_tail:
+            valid = np.int32(n) - pl.program_id(0) * np.int32(chunk)
 
         @pl.when(step0)
         def _():
-            z_ref[:] = jnp.zeros_like(z_ref)
+            z_ref[:] = s0_ref[:]
 
         def body(t, z):
             xi = x_ref[t, :]
@@ -107,6 +131,21 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                 tmp = xi * headroom + di + shaped
                 q = jnp.round(tmp * inv_scale) * scale
                 err = tmp - q
+            elif mode == "lattice":
+                tmp = xi * headroom + shaped
+                yc = jnp.clip(tmp, -1.0, 1.0 - scale)
+                q = jnp.round((yc + di) * inv_scale) * scale
+                q = jnp.clip(q, -1.0, 1.0 - scale)
+                err = jnp.clip(q - tmp, -err_lim, err_lim)
+                # lattice-ladder advance (per-stage clamp +-2.0)
+                q_ref[t, :] = q
+                fwd = err
+                new = []
+                for i in range(order):
+                    nf = fwd + c[i] * z[i]
+                    new.append(jnp.clip(c[i] * fwd + z[i], -2.0, 2.0))
+                    fwd = nf
+                return tuple(new)
             else:
                 y = xi * headroom - shaped
                 yc = jnp.clip(y, -1.0, 1.0 - scale)
@@ -117,19 +156,37 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
             q_ref[t, :] = q
             return (err,) + z[:-1]
 
+        if mask_tail:
+            inner = body
+
+            def body(t, z):
+                nz = inner(t, z)
+                keep = t < valid
+                return tuple(jnp.where(keep, n_i, z_i)
+                             for n_i, z_i in zip(nz, z))
+
         z = tuple(z_ref[i, :] for i in range(order))
         z = jax.lax.fori_loop(0, chunk, body, z)
         for i in range(order):
             z_ref[i, :] = z[i]
+            zout_ref[i, :] = z[i]
 
-    qt = pl.pallas_call(
+    qt, zf = pl.pallas_call(
         kernel,
         grid=(nc,),
-        in_specs=[pl.BlockSpec((chunk, rp), lambda i: (i, _Z0)),
+        in_specs=[pl.BlockSpec((order, rp), lambda i: (_Z0, _Z0)),
+                  pl.BlockSpec((chunk, rp), lambda i: (i, _Z0)),
                   pl.BlockSpec((chunk, rp), lambda i: (i, _Z0))],
-        out_specs=pl.BlockSpec((chunk, rp), lambda i: (i, _Z0)),
-        out_shape=jax.ShapeDtypeStruct((npad, rp), dt),
+        # the (order, rp) state output maps every grid step to the same
+        # block; TPU grids run sequentially so the last step's write wins
+        out_specs=[pl.BlockSpec((chunk, rp), lambda i: (i, _Z0)),
+                   pl.BlockSpec((order, rp), lambda i: (_Z0, _Z0))],
+        out_shape=[jax.ShapeDtypeStruct((npad, rp), dt),
+                   jax.ShapeDtypeStruct((order, rp), dt)],
         scratch_shapes=[pltpu.VMEM((order, rp), dt)],
         interpret=interpret,
-    )(xt, dtm)
-    return qt.T[:r, :n]
+    )(s0, xt, dtm)
+    q = qt.T[:r, :n]
+    if return_state:
+        return q, zf.T[:r, :]
+    return q

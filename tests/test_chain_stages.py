@@ -395,3 +395,104 @@ def test_fused_trim_gain_matches_unfused_both_orders():
                                                  conv, pre))
         err = np.abs(y_fused - y_ref).max() / np.abs(y_ref).max()
         assert err < 1e-7, f"order={order}: fused diverges {err:.2e}"
+
+
+def test_folded_oversampled_chain_matches_staged():
+    """The polyphase-identity fold of the ENTIRE oversampled static chain
+    (up FIRs -> dc_os -> EQ -> conv@proc-rate -> output filter -> down
+    FIRs, plus base-rate DC blockers) equals the staged process_chain at
+    the truncation bound — bench config3's fast path
+    (models/chain.prepare_folded_convolver_oversampled)."""
+    from convopeq_tpu.models.chain import (
+        ChainConfig, process_chain, process_chain_fused,
+        prepare_folded_convolver_oversampled)
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.nuc import FilterSpec
+    rng = np.random.default_rng(52)
+    sr = 48000.0
+    x = rng.normal(size=(1, 2, 32768)) * 0.25
+    p = EQParams()
+    p.gains_db[:] = np.linspace(-3.0, 3.0, 20)     # all stereo bands
+    for os_req, order in ((2, EQ_THEN_CONVOLVER), (4, CONVOLVER_THEN_EQ),
+                          (4, EQ_THEN_CONVOLVER)):
+        proc_len = 3000 * os_req
+        ir_hf = rng.normal(size=(2, proc_len)) \
+            * np.exp(-np.arange(proc_len) / (500.0 * os_req)) * 0.2
+        spec = FilterSpec(sample_rate=sr * os_req)
+        cfg = ChainConfig(sample_rate=sr, order=order,
+                          oversampling_factor=os_req,
+                          convolver_input_trim_gain=0.7,
+                          output_makeup_gain=1.1)
+        # exact comparison: staged NUC unfiltered vs fold without the
+        # HC/LC curve (the curve variant is LPTV-vs-linear, not exact)
+        conv = stereo_prepare(jnp.asarray(ir_hf), 512 * os_req, spec,
+                              apply_spectrum_filter=False)
+        y_ref = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv))
+        st = prepare_folded_convolver_oversampled(
+            ir_hf, 512, spec, cfg, p, eps=1e-10,
+            fold_spectrum_curve=False)
+        y_fold = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st))
+        rel = np.sqrt(np.mean((y_fold - y_ref) ** 2)) \
+            / np.sqrt(np.mean(y_ref ** 2))
+        assert rel < 3e-9, (os_req, order, rel)
+
+    # the HC/LC-curve variant tracks the circular-filtered staged chain
+    # to the documented frame-wrap difference
+    os_req = 4
+    cfg = ChainConfig(sample_rate=sr, order=EQ_THEN_CONVOLVER,
+                      oversampling_factor=os_req)
+    proc_len = 3000 * os_req
+    ir_hf = rng.normal(size=(2, proc_len)) \
+        * np.exp(-np.arange(proc_len) / (500.0 * os_req)) * 0.2
+    spec = FilterSpec(sample_rate=sr * os_req)
+    conv_f = stereo_prepare(jnp.asarray(ir_hf), 512 * os_req, spec)
+    y_circ = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv_f))
+    st_f = prepare_folded_convolver_oversampled(ir_hf, 512, spec, cfg, p,
+                                                eps=1e-10)
+    y_lin = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st_f))
+    rel_v = np.sqrt(np.mean((y_lin - y_circ) ** 2)) \
+        / np.sqrt(np.mean(y_circ ** 2))
+    assert rel_v < 0.05, rel_v
+
+
+def test_semi_folded_softclip_chain_matches_staged():
+    """Partial fold for soft-clip chains (bench config6's fast path): the
+    LTI prefix (dc_in + EQ + conv + output filter) folds into the IR;
+    makeup -> soft clip -> dc_out -> headroom stay staged in the exact
+    reference order.  Equals the staged chain to the truncation bound."""
+    from convopeq_tpu.models.chain import (
+        ChainConfig, process_chain, process_chain_semi_fused,
+        prepare_semi_folded_convolver)
+    from convopeq_tpu.models.convolver import stereo_prepare
+    from convopeq_tpu.models.nuc import FilterSpec
+    rng = np.random.default_rng(63)
+    sr = 48000.0
+    n_ir = 6000
+    ir = rng.normal(size=(2, n_ir)) * np.exp(-np.arange(n_ir) / 900.0) * 0.2
+    p = EQParams()
+    p.gains_db[:] = np.linspace(-3.0, 3.0, 20)
+    spec = FilterSpec(sample_rate=sr)
+    cfg = ChainConfig(sample_rate=sr, soft_clip_enabled=True,
+                      saturation_amount=0.3, output_makeup_gain=1.2,
+                      apply_output_headroom=False)
+    x = rng.normal(size=(1, 2, 32768)) * 0.25
+
+    # exact: staged NUC unfiltered vs fold without the HC/LC curve
+    conv = stereo_prepare(jnp.asarray(ir), 512, spec,
+                          apply_spectrum_filter=False)
+    y_ref = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv))
+    st = prepare_semi_folded_convolver(ir, 512, spec, cfg, p, eps=1e-10,
+                                       fold_spectrum_curve=False)
+    y_semi = np.asarray(process_chain_semi_fused(jnp.asarray(x), cfg, st))
+    rel = np.sqrt(np.mean((y_semi - y_ref) ** 2)) \
+        / np.sqrt(np.mean(y_ref ** 2))
+    assert rel < 3e-9, rel
+
+    # curve variant tracks the circular-filtered staged chain (documented)
+    conv_f = stereo_prepare(jnp.asarray(ir), 512, spec)
+    y_circ = np.asarray(process_chain(jnp.asarray(x), cfg, p, conv_f))
+    st_f = prepare_semi_folded_convolver(ir, 512, spec, cfg, p, eps=1e-10)
+    y_lin = np.asarray(process_chain_semi_fused(jnp.asarray(x), cfg, st_f))
+    rel_v = np.sqrt(np.mean((y_lin - y_circ) ** 2)) \
+        / np.sqrt(np.mean(y_circ ** 2))
+    assert rel_v < 0.05, rel_v

@@ -280,3 +280,56 @@ def test_learner_quality_gain_over_unshaped():
     assert learned_cost < flat_cost * 0.05, (learned_cost, flat_cost)
     # sanity: the learned coefficients are usable by the runtime shaper
     assert np.all(np.abs(st.best_coefficients) <= 0.995)
+
+
+def test_factory_bank_fixture_quality():
+    """The shipped factory banks (convopeq_tpu/data/learned_banks.json,
+    trained deterministically by tools/train_banks.py — the rebuild's
+    analog of the reference's device_settings.xml persisted adaptive
+    coefficients) are valid and reproduce their recorded quality gains
+    on the training fixture.  Pins the learner quality surface at 4
+    representative (SR, depth, mode) banks — 44.1k/16/Short, 48k/16/
+    Short, 96k/24/Medium, 384k/24/Long.  The 384k/24 bank's recorded
+    gain is ~1.0x: at that rate/depth the unshaped quantization error is
+    already below the masking floor (nearly all of the noise spectrum is
+    ultrasonic) — adaptivity is the contract there, not gain."""
+    import json
+    import os
+    from convopeq_tpu.models.learner import (
+        AdaptiveCoefficientBanks, NoiseShaperLearner, K_FFT_LENGTH)
+    from convopeq_tpu.models.dither import LATTICE_COEFF_LIMIT
+    path = os.path.join(os.path.dirname(__file__), "..", "convopeq_tpu",
+                        "data", "learned_banks.json")
+    with open(path) as f:
+        d = json.load(f)
+    banks = AdaptiveCoefficientBanks.from_dict(d["banks"])
+    assert len(banks) == 4
+    for rec in d["training"].values():
+        k = banks.get(rec["sample_rate"], rec["bit_depth"], rec["mode"])
+        assert k is not None and k.shape == (9,)
+        # parcor coefficients; the runtime shaper clamps to +-0.85
+        # (LATTICE_COEFF_LIMIT) — stored values stay well inside
+        assert np.all(np.abs(k) <= LATTICE_COEFF_LIMIT)
+        assert rec["best_score"] <= rec["flat_cost"] * 1.0000001
+
+    # re-evaluate the two audible-band banks on the training fixture:
+    # the stored coefficients must reproduce the recorded cost (not just
+    # any cost) — guards fixture/implementation drift
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from train_banks import program_material
+    for key, min_gain in (("0", 10.0), ("62", 50.0)):
+        rec = d["training"][key]
+        sr, bits, mode = rec["sample_rate"], rec["bit_depth"], rec["mode"]
+        learner = NoiseShaperLearner(sr, bits, mode=mode, seed=0)
+        learner._uniforms = learner.rng.uniform(size=(2, K_FFT_LENGTH, 2))
+        audio = program_material(sr)
+        flat = learner._cost(np.zeros(9), audio)
+        k = banks.get(sr, bits, mode)
+        # _cost maps unconstrained -> parcor (tanh); invert exactly
+        from convopeq_tpu.ir.cmaes import CmaEs
+        cost = learner._cost(CmaEs.parcor_to_unconstrained(k), audio)
+        gain = flat / max(cost, 1e-30)
+        assert gain > min_gain, (key, gain)
+        np.testing.assert_allclose(cost, rec["best_score"], rtol=1e-6)

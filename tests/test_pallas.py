@@ -37,6 +37,62 @@ def test_error_feedback_quantize_matches_scan():
     np.testing.assert_array_equal(np.asarray(qf), np.asarray(reff))
 
 
+def test_error_feedback_quantize_lattice_matches_scan():
+    """Lattice mode (the adaptive 9th-order shaper, bench config6's
+    384 kHz path) against the lax.scan ladder kernel.
+
+    The full f32 sequence is NOT bitwise-stable across the two program
+    structures on XLA:CPU: the ladder recurrence (nf = fwd + k*s,
+    nb = k*fwd + s) gets FMA-contracted differently in the scan body vs
+    the interpreted kernel, and a 1-ULP tmp difference at a rounding
+    boundary flips a quantize decision which the (marginally stable,
+    |k| up to 0.85) ladder then amplifies chaotically.  On TPU both
+    lower identically and agree bitwise (verified on-chip; bench config6
+    self-checks it).  The CPU contract here is therefore:
+      (a) f64 full sequence, bitwise — validates op order, quantize
+          semantics and the chunk-boundary state carry (chunk=256 < N,
+          so the VMEM scratch handoff is exercised); at 2^-53 relative
+          FMA noise a rounding flip is probabilistically nil;
+      (b) f32 single-step, bitwise, over a large batch of random ladder
+          states incl. the ±2.0 clamp region — validates the arithmetic
+          at the production dtype.
+    """
+    from convopeq_tpu.models.dither import (
+        lattice_dither, quant_scales, LATTICE_COEFF_LIMIT)
+    from convopeq_tpu.utils.dsputil import K_OUTPUT_HEADROOM
+    r, n = 3, 700
+    x64 = RNG.normal(size=(r, n)) * 0.6
+    u64 = RNG.random(size=(r, n, 2))
+    # modest |k| like a converged learner bank: large random k
+    # (sum|k| >~ 1/(2*state_limit)) rails the ladder into a limit cycle
+    # at the ±2.0 clamps, where bitwise f64 comparison is chaotic too;
+    # the clamp arithmetic itself is covered by (b)
+    k9 = np.clip(RNG.normal(size=9) * 0.15, -LATTICE_COEFF_LIMIT,
+                 LATTICE_COEFF_LIMIT)
+    # (a) f64 full sequence, both bit depths
+    for bits in (16, 24):
+        scale, _ = quant_scales(bits)
+        ql = pk.error_feedback_quantize(
+            jnp.asarray(x64), jnp.asarray(u64), k9, scale,
+            K_OUTPUT_HEADROOM, mode="lattice", chunk=256, interpret=True)
+        ref = lattice_dither(jnp.asarray(x64), jnp.asarray(u64), k9, bits)
+        np.testing.assert_array_equal(np.asarray(ql), np.asarray(ref))
+    # (b) f32 single-step state advance over 4096 random states
+    b = 4096
+    s0 = (RNG.normal(size=(b, 9)) * np.linspace(0.1, 2.5, b)[:, None]
+          ).astype(np.float32)                              # hits ±2 clamps
+    xb = (RNG.normal(size=(b, 1)) * 0.6).astype(np.float32)
+    ub = RNG.random(size=(b, 1, 2)).astype(np.float32)
+    scale, _ = quant_scales(16)
+    q1, s1 = lattice_dither(jnp.asarray(xb), jnp.asarray(ub), k9, 16,
+                            state=jnp.asarray(s0), return_state=True)
+    qp = pk.error_feedback_quantize(
+        jnp.asarray(xb), jnp.asarray(ub), k9, scale,
+        K_OUTPUT_HEADROOM, mode="lattice", chunk=1, interpret=True,
+        state=jnp.asarray(s0))
+    np.testing.assert_array_equal(np.asarray(qp), np.asarray(q1))
+
+
 def test_two_stage_pallas_fft_matches_numpy():
     """Fused fwd/inv two-stage GEMM-FFT kernels (interpret mode) vs
     numpy rfft / valid-half irfft, both dot modes, two partition sizes,

@@ -36,6 +36,19 @@ def main():
                     default=[1, 32, 128, 256, 512])
     ap.add_argument("--multi", type=int, default=16,
                     help="blocks per dispatch in multi-block mode")
+    ap.add_argument("--frontier", action="store_true",
+                    help="scan the window-size x stream-count plane "
+                         "(M in {2,4,8,16} x modes multi/pipelined/"
+                         "bigblock) and publish SERVING.json "
+                         "latency_frontier with the minimum xrun-free "
+                         "window per point")
+    ap.add_argument("--windows", type=int, nargs="*", default=[2, 4, 8, 16],
+                    help="frontier window sizes (blocks per deadline)")
+    ap.add_argument("--fidelity", action="store_true",
+                    help="measure the f16-FDL folded serving tier's "
+                         "end-to-end RMS vs the f64 CPU golden at the "
+                         "production 1M-tap shape (60 s) and publish it "
+                         "in SERVING.json next to the throughput numbers")
     ap.add_argument("--fdl-dtype", default="float32",
                     choices=["float32", "float16"],
                     help="stored FDL spectra dtype (float16 halves the "
@@ -48,6 +61,11 @@ def main():
                          "the per-block step is sanitize -> NUC -> scalar "
                          "gains — the throughput tier for static configs")
     args = ap.parse_args()
+
+    if args.frontier:
+        return frontier(args)
+    if args.fidelity:
+        return fidelity(args)
 
     import jax
     import jax.numpy as jnp
@@ -311,6 +329,240 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
                           file=sys.stderr)
                     break
             _flush(results)
+
+
+def fidelity(args):
+    """--fidelity: end-to-end RMS of the f16-FDL folded serving tier
+    (the 578 s-x-rt / 256-stream headline's precision class) vs the f64
+    CPU golden of the same folded chain, at the production shape: the
+    1M-tap headline fixture over 60 s.  The reference keeps full doubles
+    in its FDL (MKLNonUniformConvolver.cpp:1407); this publishes what
+    the f16 tier actually gives up, in SERVING.json.  The f32-FDL tier
+    is measured alongside for the precision ladder."""
+    import jax
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import ChainConfig
+    from convopeq_tpu.models.nuc import FilterSpec
+    from convopeq_tpu.runtime.streaming import StreamingChain
+    from tools.tpu_parity import build_headline_fixture, \
+        cpu_folded_reference
+
+    ir1m, eqp, x60 = build_headline_fixture()
+    y_cpu = cpu_folded_reference()            # (2, n) f64, subprocess
+    print("cpu f64 golden ready", file=sys.stderr)
+    cfg = ChainConfig(sample_rate=SR)
+    spec = FilterSpec(sample_rate=SR)
+    n = x60.shape[-1]
+    out = {}
+    for label, fdl_dtype in (("f16_fdl", jnp.float16),
+                             ("f32_fdl", jnp.float32)):
+        sc = StreamingChain.folded_from_ir(
+            cfg, eqp, ir1m, spec, block_size=BLOCK, dtype=jnp.float32,
+            donate_state=True, fdl_dtype=fdl_dtype)
+        m = 16 * BLOCK
+        nwin = n // m
+        state = sc.init_state((1,))
+        xs = jnp.asarray(x60[None, :, :nwin * m], jnp.float32)
+        ys = []
+        for k in range(nwin):
+            state, y = sc.multi_step(state, xs[..., k * m:(k + 1) * m])
+            ys.append(np.asarray(y[0], np.float64))
+        y_tier = np.concatenate(ys, axis=-1)
+        ref = y_cpu[:, :nwin * m]
+        # streaming == offline only after the tail-layer warmup (the FDL
+        # starts silent like the reference); compare steady state
+        warmup = max(lp.offset + 2 * lp.part_size
+                     for lp in sc.left.plan.layers)
+        rms = float(np.sqrt(np.mean((y_tier[:, warmup:]
+                                     - ref[:, warmup:]) ** 2))
+                    / np.sqrt(np.mean(ref[:, warmup:] ** 2)))
+        out[label] = {"rms_rel": rms,
+                      "rms_db": round(20.0 * np.log10(rms), 1),
+                      "seconds": round(nwin * m / SR, 1),
+                      "warmup_skipped_s": round(warmup / SR, 2),
+                      "ir_taps": 1_000_000}
+        print(f"{label}: rel RMS {rms:.3e} ({out[label]['rms_db']} dB)",
+              file=sys.stderr)
+    path = os.path.join(REPO, "SERVING.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    results["serving_fidelity_vs_f64_cpu"] = out
+    _flush(results)
+    print(json.dumps(out))
+
+
+def frontier(args):
+    """--frontier: measure the serving latency frontier.
+
+    Scans window size M (blocks per deadline) x stream count x dispatch
+    mode and publishes SERVING.json `latency_frontier` (f32 FDL) /
+    `latency_frontier_f16`, including per-(mode, streams) the MINIMUM
+    xrun-free window — the artifact VERDICT r3 asked for: the smallest
+    latency this hardware can actually hold, not just one window size.
+
+    Modes:
+      multi     — 3-layer folded chain, M blocks per dispatch via the
+                  on-device lax.scan multi_step (state device-resident,
+                  ONE dispatch per window).
+      pipelined — same chain, M per-block steps enqueued via JAX async
+                  dispatch, one host fence per window.
+      bigblock  — single-layer folded plan at partition = BLOCK*M: the
+                  whole window is ONE NUC step.  The 3-layer plan
+                  re-reads the entire FDL (~16 MB/stream f32) every
+                  512-sample block — an HBM-bandwidth wall of
+                  ~1.5 GB/s/stream; at partition BLOCK*M the same state
+                  is read once per window (M x less bandwidth), which is
+                  what takes 512 streams xrun-free.  Algorithm latency =
+                  partition = the window budget, so the deadline
+                  contract is unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import (ChainConfig,
+                                           prepare_folded_convolver)
+    from convopeq_tpu.models.eq import EQParams
+    from convopeq_tpu.models.nuc import FilterSpec
+    from convopeq_tpu.runtime.streaming import StreamingChain
+    from convopeq_tpu.runtime.telemetry import XrunDetector
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    decay = np.exp(-np.arange(args.ir_taps) / (args.ir_taps / 10.0))
+    ir = rng.normal(size=args.ir_taps) * decay * 0.02    # host f64
+    eqp = EQParams()
+    eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+    cfg = ChainConfig(sample_rate=SR)
+    spec = FilterSpec(sample_rate=SR)
+    fdl_dtype = jnp.float16 if args.fdl_dtype == "float16" else jnp.float32
+    budget_ms = BLOCK / SR * 1e3
+    key = ("latency_frontier" if args.fdl_dtype == "float32"
+           else "latency_frontier_f16")
+
+    path = os.path.join(REPO, "SERVING.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    lf = results.setdefault(key, {})
+    lf["ir_taps"] = args.ir_taps
+    lf["blocks"] = args.blocks
+    reduce1 = jax.jit(lambda v: jnp.sum(v[..., -1]))
+
+    def measure(step_window, init, M, ns):
+        """Run nwin windows of `step_window(state, k) -> state, y`."""
+        state = init()
+        state, y = step_window(state, 0)
+        float(reduce1(y))
+        state, y = step_window(state, 1)      # output-state layout warm
+        float(reduce1(y))
+        state = init()
+        nwin = max(25, args.blocks // M)
+        xr = XrunDetector(SR, BLOCK * M)
+        walls = []
+        for k in range(nwin):
+            t0 = time.perf_counter()
+            state, y = step_window(state, k)
+            float(reduce1(y))
+            dt = time.perf_counter() - t0
+            walls.append(dt)
+            xr.record_step(dt)
+        w = np.asarray(walls) * 1e3
+        return {
+            "window_budget_ms": round(budget_ms * M, 3),
+            "median_ms": round(float(np.median(w)), 3),
+            "p99_ms": round(float(np.percentile(w, 99)), 3),
+            "max_ms": round(float(w.max()), 3),
+            "xruns": xr.xruns, "windows": nwin,
+            "xrun_free": xr.xruns == 0,
+            "streams_x_realtime": round(
+                ns * budget_ms * M / float(np.median(w)), 1),
+        }
+
+    # shared 3-layer chain for multi/pipelined
+    st3 = prepare_folded_convolver(ir, BLOCK, spec, cfg, eqp,
+                                   dtype=jnp.float32, partition=None)
+    sc3 = StreamingChain(cfg, None, st3.left, st3.right,
+                         dtype=jnp.float32, donate_state=True,
+                         fdl_dtype=fdl_dtype, folded=True)
+    bb_cache = {}
+
+    def get_bb(M):
+        if M not in bb_cache:
+            # block_size=BLOCK keeps the layer-gain baking identical to
+            # the other tiers (the reference's 512-block plan); only the
+            # PARTITIONING of the combined IR changes (pure evaluation
+            # detail — same exact convolution)
+            stb = prepare_folded_convolver(ir, BLOCK, spec, cfg, eqp,
+                                           dtype=jnp.float32,
+                                           partition=BLOCK * M)
+            bb_cache[M] = StreamingChain(
+                cfg, None, stb.left, stb.right, dtype=jnp.float32,
+                donate_state=True, fdl_dtype=fdl_dtype, folded=True)
+        return bb_cache[M]
+
+    for ns in args.streams:
+        for M in args.windows:
+            blocks_dev = [jax.device_put(jnp.asarray(
+                rng.normal(size=(ns, 2, BLOCK * M)) * 0.25, jnp.float32),
+                dev) for _ in range(8)]
+
+            def pt(mode, fn, init):
+                ent = lf.setdefault(mode, {}).setdefault(str(ns), {})
+                try:
+                    ent[str(M)] = measure(fn, init, M, ns)
+                    print(f"{mode} ns={ns} M={M}: median "
+                          f"{ent[str(M)]['median_ms']} ms / "
+                          f"{budget_ms * M:.1f} ms, xruns "
+                          f"{ent[str(M)]['xruns']}", file=sys.stderr)
+                except Exception as e:        # noqa: BLE001
+                    ent[str(M)] = {
+                        "error": f"{type(e).__name__}: {str(e)[:120]}"}
+                    print(f"{mode} ns={ns} M={M}: {type(e).__name__}",
+                          file=sys.stderr)
+                _flush(results)
+
+            pt("multi",
+               lambda st, k: sc3.multi_step(st, blocks_dev[k % 8]),
+               lambda: sc3.init_state((ns,)))
+
+            def pipe_step(st, k):
+                y = None
+                for j in range(M):
+                    y_blk = blocks_dev[k % 8][...,
+                                              j * BLOCK:(j + 1) * BLOCK]
+                    st, y = sc3.step(st, y_blk)
+                return st, y
+            pt("pipelined", pipe_step, lambda: sc3.init_state((ns,)))
+
+            try:
+                bb = get_bb(M)
+            except Exception as e:            # noqa: BLE001
+                lf.setdefault("bigblock", {}).setdefault(str(ns), {})[
+                    str(M)] = {"error": f"prep {type(e).__name__}"}
+                _flush(results)
+                continue
+            pt("bigblock",
+               lambda st, k, _bb=bb: _bb.step(st, blocks_dev[k % 8]),
+               lambda _bb=bb: _bb.init_state((ns,)))
+            del blocks_dev
+
+    # summary: minimum xrun-free window per (mode, streams)
+    summary = {}
+    for mode, per_ns in lf.items():
+        if not isinstance(per_ns, dict):
+            continue
+        for ns, per_m in per_ns.items():
+            if not isinstance(per_m, dict):
+                continue
+            free = [int(m) for m, st in per_m.items()
+                    if isinstance(st, dict) and st.get("xrun_free")]
+            summary.setdefault(mode, {})[ns] = (
+                round(min(free) * budget_ms, 1) if free else None)
+    lf["min_xrun_free_window_ms"] = summary
+    _flush(results)
+    print(json.dumps({key: lf["min_xrun_free_window_ms"]}))
 
 
 def _flush(results):

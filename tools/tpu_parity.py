@@ -66,12 +66,14 @@ np.save(%(out)r, y)
 """
 
 
-def build_headline_fixture():
-    """The headline 1M-tap + 20-band-EQ config, plus a short (2 s) input
-    used to pin the dd-FOLDED mode's OWN numerical error against a CPU
-    f64 golden of the same folded chain — so PARITY_TPU.json carries,
-    for one config and one kernel path (the dd Pallas pipeline,
-    ops/pallas_dd_fft.py), both the RMS contract and the RTF."""
+def build_headline_fixture(seconds: float = 60.0):
+    """The headline 1M-tap + 20-band-EQ config, plus a 60 s input used to
+    pin the dd-FOLDED mode's OWN numerical error against a CPU f64
+    golden of the same folded chain — so PARITY_TPU.json carries, for
+    one config and one kernel path (the dd Pallas pipeline,
+    ops/pallas_dd_fft.py), both the RMS contract and the RTF.  60 s
+    (VERDICT r3 #8: was 2 s) makes the RMS claim robust against
+    long-signal error accumulation in the dd recombinations."""
     from convopeq_tpu.models.eq import EQParams
     rng = np.random.default_rng(0)
     ir_len = 1_000_000
@@ -80,7 +82,8 @@ def build_headline_fixture():
                      rng.normal(size=ir_len) * decay]) * 0.02
     eqp = EQParams()
     eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
-    x_small = np.random.default_rng(7).normal(size=(2, 96000)) * 0.25
+    x_small = np.random.default_rng(7).normal(
+        size=(2, int(SR * seconds))) * 0.25
     return ir1m, eqp, x_small
 
 
