@@ -51,7 +51,18 @@ def _pallas_selfcheck():
         G = jnp.zeros((3, g), jnp.float32)
         Yr, Yi = pg.causal_mac_grid_pallas(Xr, Xi, G, G, p)
         float(jnp.sum(pg.irfft_valid_two_stage_pallas(Yr, Yi, p)))
-        return "ok"
+        try:
+            # the fully-fused conv kernel (fused2 near layer) is its own
+            # Mosaic compile; probe separately so a regression degrades
+            # to the proven three-kernel pipeline, not to XLA
+            float(jnp.sum(pg.fused_conv_frames_pallas(fr, G, G, p)))
+            return "ok"
+        except Exception as e2:                     # noqa: BLE001
+            print(f"# fused-conv self-check failed "
+                  f"({type(e2).__name__}: {e2}); three-kernel pipeline",
+                  file=sys.stderr)
+            os.environ["CONVOPEQ_PALLAS_FUSED"] = "0"
+            return "ok_nofused"
     except Exception as e:                          # noqa: BLE001
         print(f"# pallas self-check failed ({type(e).__name__}: {e}); "
               "falling back", file=sys.stderr)
@@ -355,8 +366,13 @@ def main():
     spec = FilterSpec(sample_rate=sr)
     cfg = ChainConfig(sample_rate=sr)
     # folded static-config mode: dc/EQ/output-filter/HC-LC prefilter
-    # host-convolved into the layer-gain-weighted IR; unit-gain NUC
-    conv = prepare_folded_convolver(ir, 512, spec, cfg, eqp, dtype=dtype)
+    # host-convolved into the layer-gain-weighted IR; unit-gain NUC.
+    # partition="fused2": near layer (<= 8 parts) through the fully-
+    # fused fwd+MAC+inv kernel, far tail at 8x partitions — the round-4
+    # roofline harvest (X/Y stage grids off HBM for ~94% of the MAC
+    # work); same exact convolution (test_fused2_two_level_plan...)
+    conv = prepare_folded_convolver(ir, 512, spec, cfg, eqp, dtype=dtype,
+                                    partition="fused2")
 
     # The jitted fn reduces to a scalar and the timing loop reads it back
     # to host: block_until_ready alone does not synchronize through every

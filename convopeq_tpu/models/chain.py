@@ -455,6 +455,8 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
                             m)[:, :ir.shape[-1] + g.shape[0] - 1]
     if dtype is None:
         dtype = jnp.zeros(()).dtype
+    if partition == "fused2":
+        return _prepare_fused2(combined, block_size, dtype)
     if partition is not None:
         if partition == "auto":
             partition = throughput_partition_size(
@@ -466,6 +468,57 @@ def prepare_folded_convolver(ir, block_size: int, spec, cfg: ChainConfig,
     return stereo_prepare(jnp.asarray(combined, dtype), block_size, spec,
                           apply_spectrum_filter=False,
                           unit_layer_gains=True)
+
+
+def _prepare_fused2(combined, block_size: int, dtype,
+                    p_near: int = 16384):
+    """Two-level throughput plan (partition="fused2"): a NEAR layer of
+    <= 8 partitions at `p_near` that rides the fully-fused fwd+MAC+inv
+    Pallas kernel (X spectra never leave VMEM —
+    ops/pallas_gemm_fft.fused_conv_frames_pallas), plus a FAR layer at
+    8*p_near for the remaining tail, whose per-frame stage-grid traffic
+    is 1/8th as frequent.  Same exact linear convolution as any other
+    partitioning; `nuc_convolve` sums the layers with the far layer's
+    offset shift.  Falls back to the single-layer auto plan when the IR
+    fits 8 near partitions outright or the fused kernel cannot hold the
+    shape."""
+    import numpy as np
+    from ..ops.pallas_gemm_fft import fused_conv_supported
+    from ..ops.partitioned_conv import partition_spectra
+    from .convolver import StereoConvolverState
+    from .nuc import (NUCLayerPlan, NUCPlan, NUCState, nuc_prepare_uniform)
+    n = combined.shape[-1]
+    near_len = 8 * p_near
+    if not fused_conv_supported(p_near, 8):
+        part = throughput_partition_size(n)
+        cj = jnp.asarray(combined, dtype)
+        return StereoConvolverState(
+            left=nuc_prepare_uniform(cj[0], part, block_size),
+            right=nuc_prepare_uniform(cj[1], part, block_size))
+    cj = jnp.asarray(combined, dtype)
+    if n <= near_len:
+        return StereoConvolverState(
+            left=nuc_prepare_uniform(cj[0], p_near, block_size),
+            right=nuc_prepare_uniform(cj[1], p_near, block_size))
+    p_far = 8 * p_near
+    far_len = n - near_len
+    far_parts = -(-far_len // p_far)
+
+    def prep(ch):
+        layers = (
+            NUCLayerPlan(offset=0, length=near_len, part_size=p_near,
+                         num_parts=8, gain=1.0, damping=None),
+            NUCLayerPlan(offset=near_len, length=far_len, part_size=p_far,
+                         num_parts=far_parts, gain=1.0, damping=None),
+        )
+        plan = NUCPlan(layers=layers, direct_taps=0, latency=p_near,
+                       block_size=block_size, ir_len=n)
+        H0 = partition_spectra(ch[:near_len], p_near, 8, dtype=ch.dtype)
+        H1 = partition_spectra(ch[near_len:], p_far, far_parts,
+                               dtype=ch.dtype)
+        return NUCState(plan=plan, layer_spectra=[H0, H1], direct_ir=None)
+
+    return StereoConvolverState(left=prep(cj[0]), right=prep(cj[1]))
 
 
 def prepare_semi_folded_convolver(ir, block_size: int, spec,

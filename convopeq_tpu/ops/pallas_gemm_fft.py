@@ -572,6 +572,177 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
     return yr.reshape(shape), yi.reshape(shape)
 
 
+# ------------------------------------------------------- fused conv (P<=8)
+#
+# The three-kernel pipeline (frames-fwd -> MAC -> inverse) materializes
+# the X and Y stage grids to HBM between kernels: per frame that is 4
+# extra grid-sized HBM transfers (X write+read, Y write+read) against
+# ONE frame read + ONE valid-half write of useful IO — measured ~4x the
+# streamed-HBM roofline at the 1M-tap headline (PERF.md).  For P <= 8
+# partitions everything fits in VMEM at once: the kernel below runs
+# forward transform, causal MAC, and inverse synthesis per frame with
+# the X spectra held in a VMEM ring that persists across the sequential
+# frame grid — zero intermediate HBM traffic.
+#
+# The ring trick: with a frame tile of 8, the MAC for in-tile frame t
+# needs X[8*ft + t - j] for j < P <= 8, which is ring row (8 + t - j)
+# with rows 8..15 = this tile's spectra and rows 0..7 = the previous
+# tile's — a STATIC index for every (t, j), so there is no Mosaic
+# dynamic-slice alignment problem at all (contrast the phase-copy
+# scratch the standalone MAC kernel needs).
+#
+# IRs longer than 8 partitions use this kernel as the NEAR layer of the
+# two-level throughput plan (models/chain.py partition="fused2"): the
+# tail runs at partition 8p where its per-frame traffic is ~1/8th.
+
+_FUSED_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def fused_conv_supported(p: int, P: int) -> bool:
+    """Whether the fused fwd+MAC+inv kernel can hold this shape in VMEM:
+    X ring (16, g) x2 planes + H (P, g) x2 + stage operands + per-frame
+    temporaries (~8 grid-sized arrays)."""
+    if pl is None or P > 8:
+        return False
+    N1, N2 = _pfactor(2 * p)
+    if N1 < 8 or N2 < 128 or N1 * N2 != 2 * p:
+        return False
+    K2 = N2 // 2 + 1
+    g = K2 * N1
+    mats = 4 * (N1 * N1 + 2 * N2 * N1 + K2 * N2      # fwd
+                + K2 * N1 + 2 * N2 * K2 + 2 * N2 * N1 + 2 * N1 * N1)
+    need = (16 * g * 2 * 4      # X ring, re+im
+            + P * g * 2 * 4     # H resident
+            + mats
+            + 2 * p * 4         # osa carry
+            + 10 * g * 4)       # per-frame temporaries (cr/ci/yr/yi/...)
+    return need <= _FUSED_VMEM_BUDGET
+
+
+def _fused_conv_kernel(fr_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref,
+                       f2cT_ref, f2sT_ref, wT_ref, i1cT_ref, i1sT_ref,
+                       itcT_ref, itsT_ref, i2c_ref, i2s_ref, hr_ref,
+                       hi_ref, out_ref, osa_buf, xr_ring, xi_ring, *,
+                       tile: int, n1: int, n2: int, p: int, P: int,
+                       mode: str):
+    ft = pl.program_id(1)
+
+    @pl.when(ft == 0)
+    def _():
+        osa_buf[:] = jnp.zeros_like(osa_buf)
+        xr_ring[0:8] = jnp.zeros_like(xr_ring[0:8])
+        xi_ring[0:8] = jnp.zeros_like(xi_ring[0:8])
+
+    dot = _make_dot(mode)
+    f1c = f1c_ref[:]
+    f1s = f1s_ref[:]
+    ftcT = ftcT_ref[:]
+    ftsT = ftsT_ref[:]
+    f2cT = f2cT_ref[:]
+    f2sT = f2sT_ref[:]
+    wT = wT_ref[:]
+    i1cT = i1cT_ref[:]
+    i1sT = i1sT_ref[:]
+    itcT = itcT_ref[:]
+    itsT = itsT_ref[:]
+    i2c = i2c_ref[:]
+    i2s = i2s_ref[:]
+    for t in range(tile):
+        # ---- forward (osa prev carried in VMEM, as _fwd_frames_kernel)
+        cur = fr_ref[0, t]
+        osa_buf[0, p:] = cur
+        at = osa_buf[0].reshape(n1, n2).T          # (n2, n1)
+        br = dot(at, f1c)
+        bi = dot(at, f1s)
+        cr = br * ftcT - bi * ftsT
+        ci = br * ftsT + bi * ftcT
+        xr = dot(f2cT, cr) - dot(f2sT, ci)         # (k2, k1)
+        xi = dot(f2sT, cr) + dot(f2cT, ci)
+        osa_buf[0, :p] = cur
+        xr_ring[8 + t] = xr
+        xi_ring[8 + t] = xi
+        # ---- causal MAC, static ring rows (j ascending, as _mac_kernel)
+        yr = xr * hr_ref[0] - xi * hi_ref[0]
+        yi = xr * hi_ref[0] + xi * hr_ref[0]
+        for j in range(1, P):
+            ar = xr_ring[8 + t - j]
+            ai = xi_ring[8 + t - j]
+            yr += ar * hr_ref[j] - ai * hi_ref[j]
+            yi += ar * hi_ref[j] + ai * hr_ref[j]
+        # ---- inverse valid-half synthesis (as _inv_kernel)
+        ur = yr * wT
+        ui = yi * wT
+        dr = dot(i1cT, ur) - dot(i1sT, ui)
+        di = dot(i1sT, ur) + dot(i1cT, ui)
+        er = dr * itcT - di * itsT
+        ei = dr * itsT + di * itcT
+        yj = dot(er, i2c) - dot(ei, i2s)
+        out_ref[0, t] = yj.T.reshape(-1)           # j = j2 + n2*j1
+    xr_ring[0:8] = xr_ring[8:16]                   # tile becomes prev
+    xi_ring[0:8] = xi_ring[8:16]
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _fused_conv_impl(frames, Gr3, Gi3, p: int, interpret: bool, mode: str):
+    shape = frames.shape
+    K = shape[-2]
+    C = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    if K % 8:
+        raise ValueError("frame count must be pre-padded to x8")
+    N1, N2 = _pfactor(2 * p)
+    K2 = N2 // 2 + 1
+    P = Gr3.shape[0]
+    (f1c, f1s, ftcT, ftsT, f2c, f2s), \
+        (wT, i1cT, i1sT, itcT, itsT, i2c, i2s) = _grid_maps(p)
+    tile = 8
+    x3 = frames.reshape(C, K, p).astype(jnp.float32)
+    consts = [jnp.asarray(m, jnp.float32)
+              for m in (f1c, f1s, ftcT, ftsT, f2c, f2s,
+                        wT, i1cT, i1sT, itcT, itsT, i2c, i2s)]
+    cspec = [pl.BlockSpec(m.shape, (lambda nd: lambda c, ft: (_Z0,) * nd)(
+        m.ndim), memory_space=pltpu.VMEM) for m in consts]
+    hspec = [pl.BlockSpec((P, K2, N1), lambda c, ft: (_Z0, _Z0, _Z0),
+                          memory_space=pltpu.VMEM)] * 2
+    out = pl.pallas_call(
+        partial(_fused_conv_kernel, tile=tile, n1=N1, n2=N2, p=p, P=P,
+                mode=mode),
+        grid=(C, K // tile),
+        in_specs=[pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, _Z0),
+                               memory_space=pltpu.VMEM)] + cspec + hspec,
+        out_specs=pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, _Z0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, K, p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 2 * p), jnp.float32),
+                        pltpu.VMEM((16, K2, N1), jnp.float32),
+                        pltpu.VMEM((16, K2, N1), jnp.float32)],
+        interpret=interpret,
+    )(x3, *consts, Gr3, Gi3)
+    return out.reshape(shape)
+
+
+def fused_conv_frames_pallas(frames, Gr, Gi, p: int,
+                             interpret: bool = False):
+    """Fully-fused partitioned conv for P <= 8: raw (..., K, p) frames ->
+    valid-half outputs (..., K, p), X spectra never leaving VMEM.
+
+    Gr/Gi: (P, gbins) flat grid spectra from `spectra_to_grid`.  K is
+    padded to x8 here (causality keeps the kept rows exact)."""
+    frames = jnp.asarray(frames, jnp.float32)
+    K = frames.shape[-2]
+    kpad = _round8(K) - K
+    if kpad:
+        pad = [(0, 0)] * (frames.ndim - 2) + [(0, kpad), (0, 0)]
+        frames = jnp.pad(frames, pad)
+    N1, N2 = _pfactor(2 * p)
+    K2 = N2 // 2 + 1
+    Gr3 = jnp.asarray(Gr, jnp.float32).reshape(-1, K2, N1)
+    Gi3 = jnp.asarray(Gi, jnp.float32).reshape(-1, K2, N1)
+    y = _fused_conv_impl(frames, Gr3, Gi3, p, interpret, PALLAS_DOT_MODE)
+    if kpad:
+        y = y[..., :K, :]
+    return y
+
+
 def causal_mac_grid_pallas(Xr, Xi, Gr, Gi, p: int, interpret: bool = False):
     """Split-real causal frame MAC on the (k2, k1) stage grid.
 

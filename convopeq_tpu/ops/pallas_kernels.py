@@ -50,7 +50,8 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                             chunk: int = 512,
                             interpret=None,
                             state=None,
-                            return_state: bool = False):
+                            return_state: bool = False,
+                            unroll: int = 8):
     """Sequential error-feedback quantizer, batched over VPU lanes.
 
     x:  (R, N) signal rows (streams x channels flattened).
@@ -166,7 +167,22 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                              for n_i, z_i in zip(nz, z))
 
         z = tuple(z_ref[i, :] for i in range(order))
-        z = jax.lax.fori_loop(0, chunk, body, z)
+        if unroll > 1 and chunk % unroll == 0:
+            # the per-sample body is a handful of (1, R) vector ops;
+            # at small row counts the loop bookkeeping is a measurable
+            # fraction of the iteration, so unroll the sequential loop
+            # (identical math/op order — just fewer loop iterations)
+            sbody = body
+
+            def body(i, z):
+                t0 = i * np.int32(unroll)
+                for uu in range(unroll):
+                    z = sbody(t0 + np.int32(uu), z)
+                return z
+
+            z = jax.lax.fori_loop(0, chunk // unroll, body, z)
+        else:
+            z = jax.lax.fori_loop(0, chunk, body, z)
         for i in range(order):
             z_ref[i, :] = z[i]
             zout_ref[i, :] = z[i]

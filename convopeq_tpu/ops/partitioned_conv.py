@@ -318,18 +318,21 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         # split re/im spectra (the dd/f64 accelerator mode: no complex128
         # on TPU) — all-GEMM/elementwise, complex-free pipeline
         Hr, Hi = Hparts
-        if p > RDFT_MATMUL_MAX_P:
-            # fused dd Pallas pipeline (double-f32 planes, Ozaki-sliced
-            # MXU GEMM stages + dd phase-copy MAC in VMEM): measured
-            # ~1.4e-11 conv RMS vs f64 — the path that takes the <=1e-9
-            # fidelity mode past the >=1000x RTF bar (the all-XLA form
-            # below is bounded by HBM-materialized slice products)
-            from .pallas_dd_fft import (dd_pallas_enabled,
-                                        dd_pipeline_supported,
-                                        uniform_partitioned_conv_dd)
-            if dd_pallas_enabled() and dd_pipeline_supported(
-                    p, n, Hr.shape[0]):
-                return uniform_partitioned_conv_dd(x, Hr, Hi, p)
+        # fused dd Pallas pipeline (double-f32 planes, Ozaki-sliced
+        # MXU GEMM stages + dd phase-copy MAC in VMEM): measured
+        # ~1.4e-11 conv RMS vs f64 — the path that takes the <=1e-9
+        # fidelity mode past the >=1000x RTF bar (the all-XLA form
+        # below is bounded by HBM-materialized slice products).
+        # Tried for EVERY partition size (round 4): the nuc3 staged
+        # layers run small partitions (512/4096) whose all-XLA f64
+        # emulation was the dd-unfused wall; dd_pipeline_supported
+        # gates the shapes the kernels can hold in VMEM.
+        from .pallas_dd_fft import (dd_pallas_enabled,
+                                    dd_pipeline_supported,
+                                    uniform_partitioned_conv_dd)
+        if dd_pallas_enabled() and dd_pipeline_supported(
+                p, n, Hr.shape[0]):
+            return uniform_partitioned_conv_dd(x, Hr, Hi, p)
         if p <= RDFT_MATMUL_MAX_P:
             Xr, Xi = _rfft_matmul_frames(xp, p)
             Yr, Yi = _mac_matmul_ri(Xr, Xi, Hr, Hi)
@@ -382,6 +385,19 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         if kpad8:
             frames = jnp.pad(
                 frames, [(0, 0)] * (frames.ndim - 2) + [(0, kpad8), (0, 0)])
+        from .pallas_gemm_fft import (fused_conv_supported,
+                                      fused_conv_frames_pallas,
+                                      spectra_to_grid)
+        if fused_conv_supported(p, H.shape[0]) and \
+                os.environ.get("CONVOPEQ_PALLAS_FUSED", "1") != "0":
+            # P <= 8: the fully-fused fwd+MAC+inv kernel — X/Y stage
+            # grids never touch HBM (see pallas_gemm_fft fused block)
+            Gr, Gi = spectra_to_grid(jnp.real(H), jnp.imag(H), p)
+            y = fused_conv_frames_pallas(frames, Gr, Gi, p)
+            if kpad8:
+                y = y[..., :k, :]
+            y = y.reshape(x.shape[:-1] + (k * p,))
+            return y[..., :n]
         if os.environ.get("CONVOPEQ_PALLAS_FRAMES_FWD", "1") != "0":
             # raw frames in: the overlap-save prev half is carried in
             # VMEM scratch by the kernel — no materialized 2p osa tensor

@@ -394,7 +394,8 @@ class StreamingChain:
     def folded_from_ir(cls, cfg, eq_params: EQParams | None, ir, spec,
                        block_size: int = 512, dtype=jnp.float32,
                        donate_state: bool = False, fdl_dtype=None,
-                       eps: float = 1e-10) -> "StreamingChain":
+                       eps: float = 1e-10,
+                       partition: int | None = None) -> "StreamingChain":
         """Build a FOLDED streaming chain: bake the LTI stages (DC
         blockers, EQ, output filter, HC/LC curve) into the IR itself at
         rebuild time, then stream with the reference's 3-layer plan — the
@@ -410,7 +411,16 @@ class StreamingChain:
         clip / AGC / oversampling, stereo-only EQ bands, non-AIR tail.
         Exactness: the fusion itself is exact to the prefilter truncation
         (~7e-12 f64); streaming == offline folded chain in steady state
-        (tests/test_streaming.py::test_streaming_folded_*)."""
+        (tests/test_streaming.py::test_streaming_folded_*).
+
+        partition: None keeps the reference 3-layer latency plan (block-
+        size algorithm latency).  An int builds the SINGLE-LAYER plan at
+        that partition — the 'bigblock' windowed serving tier: algorithm
+        latency grows to the partition, but the FDL state is re-read once
+        per partition instead of once per block (Mx less HBM bandwidth),
+        which is what holds 512+ concurrent streams xrun-free
+        (tools/serving_bench.py --frontier; layer gains still bake at
+        `block_size`, so audio is identical to the other tiers)."""
         from ..models.chain import fused_eligible, prepare_folded_convolver
         if not fused_eligible(cfg, eq_params, True):
             raise ValueError("config is not fused-eligible (see "
@@ -418,7 +428,8 @@ class StreamingChain:
                              "mix, no soft clip/AGC/oversampling, "
                              "stereo-only EQ bands")
         st = prepare_folded_convolver(ir, block_size, spec, cfg, eq_params,
-                                      eps=eps, dtype=dtype, partition=None)
+                                      eps=eps, dtype=dtype,
+                                      partition=partition)
         return cls(cfg, None, st.left, st.right, dtype=dtype,
                    donate_state=donate_state, fdl_dtype=fdl_dtype,
                    folded=True)

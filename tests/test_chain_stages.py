@@ -496,3 +496,35 @@ def test_semi_folded_softclip_chain_matches_staged():
     rel_v = np.sqrt(np.mean((y_lin - y_circ) ** 2)) \
         / np.sqrt(np.mean(y_circ ** 2))
     assert rel_v < 0.05, rel_v
+
+
+def test_fused2_two_level_plan_matches_single_layer():
+    """partition="fused2" (near layer <= 8 parts for the fully-fused
+    Pallas kernel + far layer at 8x partitions) computes the same exact
+    convolution as the single-layer plan — pure evaluation detail, layer
+    offset shift included."""
+    from convopeq_tpu.models.chain import (
+        ChainConfig, process_chain_fused, prepare_folded_convolver,
+        _prepare_fused2)
+    from convopeq_tpu.models.nuc import FilterSpec
+    rng = np.random.default_rng(77)
+    sr = 48000.0
+    cfg = ChainConfig(sample_rate=sr)
+    p = EQParams()
+    p.gains_db[:4] = [2.0, -1.0, 3.0, -2.0]
+    spec = FilterSpec(sample_rate=sr)
+    n_ir = 200000       # combined IR > 8*16384 so the FAR layer engages
+    ir = rng.normal(size=(2, n_ir)) * np.exp(-np.arange(n_ir) / 30000.0) * 0.2
+    x = rng.normal(size=(1, 2, 65536)) * 0.25
+
+    st1 = prepare_folded_convolver(ir, 512, spec, cfg, p, partition=8192)
+    y1 = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st1))
+
+    st2 = prepare_folded_convolver(ir, 512, spec, cfg, p,
+                                   partition="fused2")
+    plans = st2.left.plan.layers
+    assert len(plans) == 2 and plans[1].offset == 8 * plans[0].part_size
+    y2 = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st2))
+    rel = np.sqrt(np.mean((y2 - y1) ** 2)) / np.sqrt(np.mean(y1 ** 2))
+    assert rel < 1e-12, (rel, [
+        (lp.offset, lp.part_size, lp.num_parts) for lp in plans])

@@ -264,23 +264,40 @@ def test_uniform_partitioned_conv_pallas_path():
     orig_f = pg.rfft_frames_two_stage_pallas
     orig_i = pg.irfft_valid_two_stage_pallas
     orig_m = pg.causal_mac_grid_pallas
+    orig_u = pg.fused_conv_frames_pallas
     pc_f = lambda fr, pp, interpret=False: orig_f(fr, pp, True)
     pc_i = lambda Yr, Yi, pp, interpret=False: orig_i(Yr, Yi, pp, True)
     pc_m = lambda Xr, Xi, Gr, Gi, pp, interpret=False: orig_m(
         Xr, Xi, Gr, Gi, pp, True)
+    pc_u = lambda fr, Gr, Gi, pp, interpret=False: orig_u(
+        fr, Gr, Gi, pp, True)
     import convopeq_tpu.ops.pallas_gemm_fft as mod
     mod.rfft_frames_two_stage_pallas = pc_f
     mod.irfft_valid_two_stage_pallas = pc_i
     mod.causal_mac_grid_pallas = pc_m
+    mod.fused_conv_frames_pallas = pc_u
     try:
+        # P = 4 parts: routes through the FUSED fwd+MAC+inv kernel
         y = pc.uniform_partitioned_conv(x, H, p, frame_mac="pallas")
+        # P = 12 parts: the three-kernel pipeline
+        h2 = rng.normal(size=11 * p + 60) \
+            * np.exp(-np.arange(11 * p + 60) / 2500.0)
+        H2 = pc.partition_spectra(jnp.asarray(h2, jnp.float32), p,
+                                  dtype=jnp.float32)
+        y2_ref = pc.uniform_partitioned_conv(x, H2, p, frame_mac="fft")
+        y2 = pc.uniform_partitioned_conv(x, H2, p, frame_mac="pallas")
     finally:
         mod.rfft_frames_two_stage_pallas = orig_f
         mod.irfft_valid_two_stage_pallas = orig_i
         mod.causal_mac_grid_pallas = orig_m
+        mod.fused_conv_frames_pallas = orig_u
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=6e-5 * float(jnp.abs(y_ref).max()),
+        err_msg="fused pallas conv path diverges from the FFT path")
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(y2_ref), rtol=0,
+        atol=6e-5 * float(jnp.abs(y2_ref).max()),
         err_msg="pallas conv path diverges from the FFT path")
 
 
@@ -321,3 +338,36 @@ def test_uniform_partitioned_conv_pallas_mac_fallback(monkeypatch):
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=6e-5 * float(jnp.abs(y_ref).max()),
         err_msg="mac fallback path diverges from the FFT path")
+
+
+def test_fused_conv_small_p_matches_reference():
+    """The fully-fused fwd+MAC+inv kernel (P <= 8, X ring in VMEM —
+    the near layer of the fused2 throughput plan) vs a numpy f64
+    overlap-save partitioned convolution, across partition counts and
+    frame-tile boundaries (K spanning multiple 8-frame tiles, so the
+    VMEM X-ring handoff between grid steps is exercised), plus batch."""
+    from convopeq_tpu.ops import pallas_gemm_fft as pg
+
+    rng = np.random.default_rng(11)
+    p = 1024
+    for P, C, K in ((1, 1, 8), (3, 2, 16), (8, 2, 24), (5, 1, 11)):
+        assert pg.fused_conv_supported(p, P)
+        n = K * p
+        x = rng.normal(size=(C, n)).astype(np.float32)
+        ir = (rng.normal(size=P * p)
+              * np.exp(-np.arange(P * p) / (P * p / 4.0))).astype(np.float64)
+        hp = np.zeros((P, 2 * p))
+        hp[:, :p] = ir.reshape(P, p)
+        H = np.fft.rfft(hp, axis=-1)
+        # numpy f64 golden: plain linear convolution truncated to n
+        y_ref = np.stack([np.convolve(x[c].astype(np.float64), ir)[:n]
+                          for c in range(C)])
+        Gr, Gi = pg.spectra_to_grid(
+            jnp.asarray(H.real, jnp.float32),
+            jnp.asarray(H.imag, jnp.float32), p)
+        frames = jnp.asarray(x.reshape(C, K, p))
+        y = np.asarray(pg.fused_conv_frames_pallas(
+            frames, Gr, Gi, p, interpret=True)).reshape(C, n)
+        scale = np.abs(y_ref).max()
+        np.testing.assert_allclose(y, y_ref, rtol=0, atol=1e-4 * scale,
+                                   err_msg=f"P={P} C={C} K={K}")

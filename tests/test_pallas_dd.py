@@ -254,3 +254,39 @@ def test_dd_routing_in_uniform_partitioned_conv(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=1e-10 * float(jnp.abs(y_ref).max()))
+
+
+def test_dd_routing_small_partition(monkeypatch):
+    """Round 4: the dd pipeline is tried for EVERY partition size (the
+    nuc3 staged layers run p=512/4096, previously left on the all-XLA
+    f64 path); small-p routing must produce the same result as the
+    rdft-matmul form."""
+    from convopeq_tpu.ops import partitioned_conv as pc
+
+    p = 512
+    n = 5 * p + 37
+    ir_len = 3 * p + 21
+    x = jnp.asarray(RNG.normal(size=(2, n)))
+    ir = RNG.standard_normal(ir_len) * np.exp(-np.arange(ir_len) / 300.0)
+    nparts = -(-ir_len // p)
+    hp = np.zeros((nparts, 2 * p))
+    hp[:, :p] = np.pad(ir, (0, nparts * p - ir_len)).reshape(nparts, p)
+    H = np.fft.rfft(hp, axis=-1)
+    Hr, Hi = jnp.asarray(H.real), jnp.asarray(H.imag)
+
+    y_ref = pc.uniform_partitioned_conv(x, (Hr, Hi), p)   # rdft matmul
+
+    calls = []
+    real_dd = dd.uniform_partitioned_conv_dd
+
+    def fake_dd(xx, hr, hi, pp):
+        calls.append(pp)
+        return real_dd(xx, hr, hi, pp, interpret=True)
+
+    monkeypatch.setattr(dd, "dd_pallas_enabled", lambda: True)
+    monkeypatch.setattr(dd, "uniform_partitioned_conv_dd", fake_dd)
+    y = pc.uniform_partitioned_conv(x, (Hr, Hi), p)
+    assert calls == [p], "dd pipeline was not routed at p=512"
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=1e-10 * float(jnp.abs(y_ref).max()))

@@ -350,3 +350,38 @@ def test_streaming_folded_rejects_ineligible():
         StreamingChain.folded_from_ir(
             ChainConfig(sample_rate=SR, wet_dry_mix=0.5),
             None, jnp.asarray(ir), spec)
+
+
+def test_streaming_bigblock_single_layer_matches_offline():
+    """The bigblock serving tier (tools/serving_bench.py --frontier):
+    folded single-layer plan at partition = window size, streamed one
+    window per step — must equal the offline folded chain in steady
+    state.  Exercises the big-partition layer machinery (part_size >
+    callback block, every step fires) plus the fold with an explicit
+    partition override."""
+    from convopeq_tpu.models.chain import (
+        fused_eligible, prepare_folded_convolver, process_chain_fused)
+    n_ir = 40000
+    ir = RNG.normal(size=(2, n_ir)) * np.exp(-np.arange(n_ir) / 8000.0) * 0.2
+    spec = FilterSpec(sample_rate=SR)
+    eqp = _params(2)
+    cfg = ChainConfig(sample_rate=SR, input_headroom_gain=0.9,
+                      output_makeup_gain=1.1)
+    assert fused_eligible(cfg, eqp, True)
+    # fold at the reference 512-block gain plan, partition = 8 blocks
+    part = 4096
+    st = prepare_folded_convolver(ir, 512, spec, cfg, eqp,
+                                  dtype=jnp.float64, partition=part)
+    sc = StreamingChain(cfg, None, st.left, st.right, dtype=jnp.float64,
+                        folded=True)
+    assert sc.block_size == part                 # one step per window
+    n = 16 * part
+    x = RNG.normal(size=(2, n)) * 0.3
+    y_stream, _ = sc.process(jnp.asarray(x))
+    y_stream = np.asarray(y_stream)
+    y_off = np.asarray(process_chain_fused(jnp.asarray(x), cfg, st))
+    # single-layer plan: offset 0, warmup = one partition
+    sl = slice(2 * part, n)
+    ref = np.sqrt(np.mean(y_off[..., sl] ** 2))
+    err = np.sqrt(np.mean((y_stream[..., sl] - y_off[..., sl]) ** 2)) / ref
+    assert err < 1e-9, err

@@ -44,6 +44,12 @@ def main():
                          "window per point")
     ap.add_argument("--windows", type=int, nargs="*", default=[2, 4, 8, 16],
                     help="frontier window sizes (blocks per deadline)")
+    ap.add_argument("--modes", nargs="*",
+                    default=["multi", "pipelined", "bigblock"],
+                    help="frontier dispatch modes to measure (a 1024-"
+                         "stream bigblock point needs the chip to "
+                         "itself — the 3-layer modes' 14 GB states "
+                         "fragment HBM even after their own OOM)")
     ap.add_argument("--fidelity", action="store_true",
                     help="measure the f16-FDL folded serving tier's "
                          "end-to-end RMS vs the f64 CPU golden at the "
@@ -503,10 +509,22 @@ def frontier(args):
         return bb_cache[M]
 
     for ns in args.streams:
-        for M in args.windows:
-            blocks_dev = [jax.device_put(jnp.asarray(
-                rng.normal(size=(ns, 2, BLOCK * M)) * 0.25, jnp.float32),
-                dev) for _ in range(8)]
+        # LARGEST window first: big windows have the smallest state (the
+        # bigblock FDL shrinks with M) and the laxest deadline, so they
+        # are the most likely to fit — measure them before any
+        # smaller-window OOM can fragment the chip
+        for M in sorted(args.windows, reverse=True):
+            try:
+                blocks_dev = [jax.device_put(jnp.asarray(
+                    rng.normal(size=(ns, 2, BLOCK * M)) * 0.25,
+                    jnp.float32), dev) for _ in range(8)]
+            except Exception as e:            # noqa: BLE001 — input OOM
+                for mode in ("multi", "pipelined", "bigblock"):
+                    lf.setdefault(mode, {}).setdefault(str(ns), {})[
+                        str(M)] = {
+                            "error": f"inputs {type(e).__name__}"}
+                _flush(results)
+                continue
 
             def pt(mode, fn, init):
                 ent = lf.setdefault(mode, {}).setdefault(str(ns), {})
@@ -521,37 +539,46 @@ def frontier(args):
                         "error": f"{type(e).__name__}: {str(e)[:120]}"}
                     print(f"{mode} ns={ns} M={M}: {type(e).__name__}",
                           file=sys.stderr)
+                    # an OOM'd point leaves partially-allocated device
+                    # buffers pinned until GC; collect so the next point
+                    # isn't poisoned by the failure
+                    import gc
+                    gc.collect()
                 _flush(results)
 
-            pt("multi",
-               lambda st, k: sc3.multi_step(st, blocks_dev[k % 8]),
-               lambda: sc3.init_state((ns,)))
+            if "multi" in args.modes:
+                pt("multi",
+                   lambda st, k: sc3.multi_step(st, blocks_dev[k % 8]),
+                   lambda: sc3.init_state((ns,)))
 
-            def pipe_step(st, k):
-                y = None
-                for j in range(M):
-                    y_blk = blocks_dev[k % 8][...,
-                                              j * BLOCK:(j + 1) * BLOCK]
-                    st, y = sc3.step(st, y_blk)
-                return st, y
-            pt("pipelined", pipe_step, lambda: sc3.init_state((ns,)))
+            if "pipelined" in args.modes:
+                def pipe_step(st, k):
+                    y = None
+                    for j in range(M):
+                        y_blk = blocks_dev[k % 8][
+                            ..., j * BLOCK:(j + 1) * BLOCK]
+                        st, y = sc3.step(st, y_blk)
+                    return st, y
+                pt("pipelined", pipe_step, lambda: sc3.init_state((ns,)))
 
-            try:
-                bb = get_bb(M)
-            except Exception as e:            # noqa: BLE001
-                lf.setdefault("bigblock", {}).setdefault(str(ns), {})[
-                    str(M)] = {"error": f"prep {type(e).__name__}"}
-                _flush(results)
-                continue
-            pt("bigblock",
-               lambda st, k, _bb=bb: _bb.step(st, blocks_dev[k % 8]),
-               lambda _bb=bb: _bb.init_state((ns,)))
+            if "bigblock" in args.modes:
+                try:
+                    bb = get_bb(M)
+                except Exception as e:        # noqa: BLE001
+                    lf.setdefault("bigblock", {}).setdefault(str(ns), {})[
+                        str(M)] = {"error": f"prep {type(e).__name__}"}
+                    _flush(results)
+                    continue
+                pt("bigblock",
+                   lambda st, k, _bb=bb: _bb.step(st, blocks_dev[k % 8]),
+                   lambda _bb=bb: _bb.init_state((ns,)))
             del blocks_dev
 
     # summary: minimum xrun-free window per (mode, streams)
     summary = {}
     for mode, per_ns in lf.items():
-        if not isinstance(per_ns, dict):
+        if mode not in ("multi", "pipelined", "bigblock") \
+                or not isinstance(per_ns, dict):
             continue
         for ns, per_m in per_ns.items():
             if not isinstance(per_m, dict):
@@ -561,8 +588,37 @@ def frontier(args):
             summary.setdefault(mode, {})[ns] = (
                 round(min(free) * budget_ms, 1) if free else None)
     lf["min_xrun_free_window_ms"] = summary
+    results["hbm_state_budget_per_stream_mb"] = _state_budget(args.ir_taps)
     _flush(results)
     print(json.dumps({key: lf["min_xrun_free_window_ms"]}))
+
+
+def _state_budget(ir_taps: int) -> dict:
+    """Arithmetic HBM budget per stereo stream (VERDICT r3 #3): FDL
+    split-plane spectra + aux buffers per tier, from the actual plan
+    shapes.  The folded IR is ~57k taps longer than the raw IR (the
+    prefilter tail)."""
+    from convopeq_tpu.models.nuc import plan_layers, FilterSpec
+    n = ir_taps + 57_000
+    out = {}
+    plan = plan_layers(n, BLOCK, FilterSpec(sample_rate=SR))
+    for bp, tag in ((4, "f32"), (2, "f16")):
+        tot = 0
+        for lp in plan.layers:
+            tot += lp.num_parts * (lp.part_size + 1) * 2 * bp
+            if lp.offset > 0:
+                tot += int(2 ** np.ceil(np.log2(
+                    lp.offset + 2 * lp.part_size))) * 4
+            tot += (2 * lp.part_size + 2 * (lp.part_size + 1)) * 4
+        out[f"3layer_{tag}"] = round(2 * tot / 2 ** 20, 2)
+    for M in (2, 4, 8, 16):
+        p = BLOCK * M
+        nparts = -(-n // p)
+        for bp, tag in ((4, "f32"), (2, "f16")):
+            tot = (nparts * (p + 1) * 2 * bp
+                   + (2 * p + 2 * (p + 1)) * 4)
+            out[f"bigblock_M{M}_{tag}"] = round(2 * tot / 2 ** 20, 2)
+    return out
 
 
 def _flush(results):
