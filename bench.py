@@ -316,12 +316,17 @@ def bench_all():
     best = min(_timed(fn6, (x6, conv6)) for _ in range(3))
     rng_split = {"rng_in_graph_x": round(batch6 * seconds6 / best, 1)}
     try:
-        u6 = jax.random.uniform(key, x6.shape + (2,), dtype=x6.dtype)
+        # the pregenerated-uniforms variant runs at a smaller batch (the
+        # extra (batch, 2, N, 2) uniforms tensor OOMs at 256 streams);
+        # it isolates the quantizer wall, not the headline number
+        b6p = 64
+        x6p = x6[:b6p]
+        u6 = jax.random.uniform(key, x6p.shape + (2,), dtype=x6.dtype)
         fn6p = jax.jit(chain6_pre)
-        float(fn6p(x6, conv6, u6))
-        best_pre = min(_timed(fn6p, (x6, conv6, u6)) for _ in range(3))
-        rng_split["rng_pregenerated_x"] = round(
-            batch6 * seconds6 / best_pre, 1)
+        float(fn6p(x6p, conv6, u6))
+        best_pre = min(_timed(fn6p, (x6p, conv6, u6)) for _ in range(3))
+        rng_split["rng_pregenerated_x_batch64"] = round(
+            b6p * seconds6 / best_pre, 1)
     except Exception as e:                          # noqa: BLE001
         rng_split["rng_pregenerated_error"] = f"{type(e).__name__}"
     print(json.dumps({
@@ -366,13 +371,12 @@ def main():
     spec = FilterSpec(sample_rate=sr)
     cfg = ChainConfig(sample_rate=sr)
     # folded static-config mode: dc/EQ/output-filter/HC-LC prefilter
-    # host-convolved into the layer-gain-weighted IR; unit-gain NUC.
-    # partition="fused2": near layer (<= 8 parts) through the fully-
-    # fused fwd+MAC+inv kernel, far tail at 8x partitions — the round-4
-    # roofline harvest (X/Y stage grids off HBM for ~94% of the MAC
-    # work); same exact convolution (test_fused2_two_level_plan...)
-    conv = prepare_folded_convolver(ir, 512, spec, cfg, eqp, dtype=dtype,
-                                    partition="fused2")
+    # host-convolved into the layer-gain-weighted IR; unit-gain NUC at
+    # the round-4 throughput optimum p=32768 (the "fused2" two-level
+    # plan measured SLOWER here — its far layer pays a second full
+    # transform pass; the fused fwd+MAC+inv kernel still carries every
+    # <= 8-partition conv, e.g. room-correction IRs)
+    conv = prepare_folded_convolver(ir, 512, spec, cfg, eqp, dtype=dtype)
 
     # The jitted fn reduces to a scalar and the timing loop reads it back
     # to host: block_until_ready alone does not synchronize through every

@@ -166,10 +166,11 @@ def process_chain(x, cfg: ChainConfig, eq_params: EQParams | None = None,
             # local 2x OS wrap: 31-tap IIRLike single stage
             # (prepareSingleStage; latency 15 base samples is inherent in
             # the FIR group delay, AudioEngine.Processing.Latency.cpp:104)
-            st = [design_halfband(31, 90.0)]
-            u = oversample_up(x, st)
-            u = soft_clip(u, thr, knee, asym)
-            x = oversample_down(u, st)
+            # — the 2x intermediate is eliminated by polyphase
+            # substitution (ops/softclip.soft_clip_local2x, equal to the
+            # staged up/clip/down at 1e-12)
+            from ..ops.softclip import soft_clip_local2x
+            x = soft_clip_local2x(x, thr, knee, asym)
 
     # 7. downsample
     if stages:
@@ -387,13 +388,20 @@ def throughput_partition_size(ir_len: int, f64: bool = False) -> int:
     dd MAC's per-partition VPU cost); without it (CONVOPEQ_PALLAS_DD=0
     or unsupported shape) the all-XLA shift-MAC costs O(num_parts) full
     passes, so the largest partition wins (measured dd-folded 1M-tap:
-    p16384 226x / p32768 250x / p65536 **271x** / p131072 266x)."""
+    p16384 226x / p32768 250x / p65536 **271x** / p131072 266x).
+
+    Round-4 re-scan with the Pallas transform kernels of record: the f32
+    optimum moved to p=32768 (22.3k RTF at p16384 -> 23.8k at p32768 on
+    the 1M-tap headline; the phase-copy MAC is VPU-compute-bound at
+    ~2.2 TFLOP/s, so halving num_parts buys more than the slightly
+    costlier transforms lose).  p=65536 exceeds the transform kernels'
+    scoped-vmem fit (pallas_xform_supported)."""
     p = next_pow2(max(1024, ir_len // 64))
     if f64:
         from ..ops.pallas_dd_fft import dd_pallas_enabled
         cap = 32768 if dd_pallas_enabled() else 65536
     else:
-        cap = 16384
+        cap = 32768
     return min(p, cap)
 
 
@@ -500,7 +508,13 @@ def _prepare_fused2(combined, block_size: int, dtype,
         return StereoConvolverState(
             left=nuc_prepare_uniform(cj[0], p_near, block_size),
             right=nuc_prepare_uniform(cj[1], p_near, block_size))
+    # far partition capped at the largest size the two-stage transform
+    # kernels hold in VMEM (p=131072 exceeds the 16 MB scoped limit at
+    # the Mosaic-required 8-frame tile; 65536 fits)
+    from ..ops.pallas_gemm_fft import pallas_xform_supported
     p_far = 8 * p_near
+    while p_far > p_near and not pallas_xform_supported(p_far):
+        p_far //= 2
     far_len = n - near_len
     far_parts = -(-far_len // p_far)
 
@@ -555,9 +569,7 @@ def process_chain_semi_fused(x, cfg: ChainConfig, conv_state):
     staged process_chain order exactly (soft clip and the output DC
     blocker do not commute with the fold, so they run staged)."""
     from ..ops.dc_blocker import dc_block
-    from ..ops.softclip import soft_clip, soft_clip_params
-    from ..ops.oversample import (design_halfband, oversample_up,
-                                  oversample_down)
+    from ..ops.softclip import soft_clip_local2x, soft_clip_params
     x = jnp.asarray(x)
     x = jnp.where(~jnp.isnan(x) & (jnp.abs(x) >= 1e-20), x, 0.0)
     x = jnp.clip(x, -1.0, 1.0)
@@ -575,10 +587,8 @@ def process_chain_semi_fused(x, cfg: ChainConfig, conv_state):
     if os_factor > 1:
         raise ValueError("semi-fused chain is single-rate (oversampled "
                          "soft-clip configs run staged)")
-    st = [design_halfband(31, 90.0)]       # local 2x wrap (prepareSingleStage)
-    u = oversample_up(y, st)
-    u = soft_clip(u, thr, knee, asym)
-    y = oversample_down(u, st)
+    # local 2x wrap via the polyphase-substituted fused form
+    y = soft_clip_local2x(y, thr, knee, asym)
     y, _ = dc_block(y, cfg.sample_rate, 3.0)
     if cfg.apply_output_headroom:
         y = y * K_OUTPUT_HEADROOM

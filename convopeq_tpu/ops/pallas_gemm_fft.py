@@ -133,6 +133,8 @@ def spectra_to_grid(Hr, Hi, p: int):
 def _fwd_kernel(osa_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref, f2cT_ref,
                 f2sT_ref, xr_ref, xi_ref, *, tile: int, n1: int, n2: int,
                 mode: str):
+    # blocks are (1, tile, ...): the frame axis is reshaped to exactly
+    # `tile` so any tile size is Mosaic-legal (see _xform_tile)
     dot = _make_dot(mode)
     f1c = f1c_ref[:]
     f1s = f1s_ref[:]
@@ -141,7 +143,7 @@ def _fwd_kernel(osa_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref, f2cT_ref,
     f2cT = f2cT_ref[:]
     f2sT = f2sT_ref[:]
     for t in range(tile):
-        at = osa_ref[t].reshape(n1, n2).T          # (n2, n1)
+        at = osa_ref[0, t].reshape(n1, n2).T       # (n2, n1)
         # stage 1 (contract n1 -> k1); f1c/f1s are symmetric
         br = dot(at, f1c)
         bi = dot(at, f1s)
@@ -149,8 +151,8 @@ def _fwd_kernel(osa_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref, f2cT_ref,
         cr = br * ftcT - bi * ftsT
         ci = br * ftsT + bi * ftcT
         # stage 2 (contract n2 -> k2): output (k2, k1)
-        xr_ref[t] = dot(f2cT, cr) - dot(f2sT, ci)
-        xi_ref[t] = dot(f2sT, cr) + dot(f2cT, ci)
+        xr_ref[0, t] = dot(f2cT, cr) - dot(f2sT, ci)
+        xi_ref[0, t] = dot(f2sT, cr) + dot(f2cT, ci)
 
 
 def _inv_kernel(yr_ref, yi_ref, wT_ref, i1cT_ref, i1sT_ref, itcT_ref,
@@ -166,13 +168,13 @@ def _inv_kernel(yr_ref, yi_ref, wT_ref, i1cT_ref, i1sT_ref, itcT_ref,
     i2s = i2s_ref[:]
     if batched:
         p = out_ref.shape[-1]
-        _inv_stages_batched(yr_ref[:], yi_ref[:], wT, i1cT, i1sT, itcT,
-                            itsT, i2c, i2s, out_ref, tile=tile, n1=n1,
-                            n2=n2, p=p, dot=dot)
+        _inv_stages_batched(yr_ref[0], yi_ref[0], wT, i1cT, i1sT, itcT,
+                            itsT, i2c, i2s, out_ref.at[0], tile=tile,
+                            n1=n1, n2=n2, p=p, dot=dot)
         return
     for t in range(tile):
-        ur = yr_ref[t] * wT                        # (k2, k1)
-        ui = yi_ref[t] * wT
+        ur = yr_ref[0, t] * wT                     # (k2, k1)
+        ui = yi_ref[0, t] * wT
         # stage 1 (contract k2 -> j2): (j2, k1)
         dr = dot(i1cT, ur) - dot(i1sT, ui)
         di = dot(i1sT, ur) + dot(i1cT, ui)
@@ -181,12 +183,55 @@ def _inv_kernel(yr_ref, yi_ref, wT_ref, i1cT_ref, i1sT_ref, itcT_ref,
         ei = dr * itsT + di * itcT
         # stage 2 (contract k1 -> j1, real part): (j2, j1) -> (j1, j2)
         yj = dot(er, i2c) - dot(ei, i2s)
-        out_ref[t] = yj.T.reshape(-1)              # j = j2 + n2*j1
+        out_ref[0, t] = yj.T.reshape(-1)           # j = j2 + n2*j1
 
 
 def _pick_tile(rows: int) -> int:
     for t in (8, 4, 2, 1):
         if rows % t == 0:
+            return t
+    return 1
+
+
+_XFORM_VMEM_BUDGET = 14 * 2 ** 20
+
+
+def _xform_need(p: int, tile: int = 8) -> int:
+    """Per-cell VMEM footprint of the transform kernels: frame block +
+    two grid blocks (each DOUBLE-buffered — Mosaic pipelines in/out
+    blocks on any multi-step grid, observed on-chip: a (1,1)-grid probe
+    at p=65536 compiles, the same kernel on a real grid fails scoped
+    vmem) + every stage operand + osa scratch."""
+    N1, N2 = _pfactor(2 * p)
+    K2 = N2 // 2 + 1
+    g = K2 * N1
+    consts = 4 * (2 * N1 * N1 + 2 * N2 * N1 + 2 * K2 * N2
+                  + K2 * N1 + 2 * N2 * K2 + 2 * N2 * N1 + 2 * N1 * N1)
+    return 2 * (tile * 2 * p * 4 + 2 * tile * g * 4) + consts + 2 * p * 4
+
+
+def pallas_xform_supported(p: int) -> bool:
+    """Whether the two-stage transform kernels fit the 16 MB scoped-vmem
+    limit at SOME frame tile (the impls reshape the frame axis so any
+    tile down to 1 is legal — see _xform_tile).  Callers fall back to
+    the XLA gemmfft path when even tile=1 cannot fit."""
+    if pl is None:
+        return False
+    N1, N2 = _pfactor(2 * p)
+    if N1 < 8 or N2 < 128 or N1 * N2 != 2 * p:
+        return False
+    return _xform_need(p, 1) <= _XFORM_VMEM_BUDGET
+
+
+def _xform_tile(rows: int, p: int) -> int:
+    """Frame tile for the transform kernels.  Mosaic requires the
+    second-to-last block dim to be divisible by 8 OR equal to the full
+    axis — the impls reshape the frame axis to (rows/tile, tile, ...)
+    so ANY tile is the full size of its axis and therefore legal; the
+    tile is then chosen purely by the VMEM fit (large partitions force
+    smaller tiles: p=65536 fits at tile 4, p=131072 at tile 2)."""
+    for t in (8, 4, 2, 1):
+        if rows % t == 0 and _xform_need(p, t) <= _XFORM_VMEM_BUDGET:
             return t
     return 1
 
@@ -257,8 +302,11 @@ def _rfft_two_stage_impl(osa, p: int, interpret: bool, mode: str):
     N1, N2 = _pfactor(N)
     K2 = N2 // 2 + 1
     (f1c, f1s, ftcT, ftsT, f2c, f2s), _ = _grid_maps(p)
-    tile = _pick_tile(rows)
-    x2 = osa.reshape(rows, N).astype(jnp.float32)
+    tile = min(_pick_tile(rows), _xform_tile(rows, p))
+    # frame axis reshaped to exactly `tile`: any tile is Mosaic-legal
+    # (block dim == full axis), which lets big partitions shrink their
+    # VMEM blocks below the 8-frame tile (see _xform_tile)
+    x2 = osa.reshape(rows // tile, tile, N).astype(jnp.float32)
 
     consts = [jnp.asarray(m, jnp.float32)
               for m in (f1c, f1s, ftcT, ftsT, f2c, f2s)]
@@ -267,11 +315,13 @@ def _rfft_two_stage_impl(osa, p: int, interpret: bool, mode: str):
     xr, xi = pl.pallas_call(
         partial(_fwd_kernel, tile=tile, n1=N1, n2=N2, mode=mode),
         grid=(rows // tile,),
-        in_specs=[pl.BlockSpec((tile, N), lambda r: (r, _Z0),
+        in_specs=[pl.BlockSpec((1, tile, N), lambda r: (r, _Z0, _Z0),
                                memory_space=pltpu.VMEM)] + cspec,
-        out_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, _Z0, _Z0),
+        out_specs=[pl.BlockSpec((1, tile, K2, N1),
+                                lambda r: (r, _Z0, _Z0, _Z0),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rows, K2, N1), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows // tile, tile, K2, N1),
+                                        jnp.float32)] * 2,
         interpret=interpret,
     )(x2, *consts)
     g = K2 * N1
@@ -303,25 +353,25 @@ def _fwd_frames_kernel(fr_ref, f1c_ref, f1s_ref, ftcT_ref, ftsT_ref,
         # assemble the whole (tile, N) overlap-save block, then run both
         # stages as tile-wide GEMMs; osa_buf row 0's first half carries
         # the previous step's last frame
-        fr = fr_ref[0]                             # (tile, p)
+        fr = fr_ref[0, 0]                          # (tile, p)
         osa_buf[:, p:] = fr
         if tile > 1:
             osa_buf[1:, :p] = fr[:tile - 1]
         _fwd_stages_batched(osa_buf[:], f1c, f1s, ftcT, ftsT, f2cT, f2sT,
-                            xr_ref.at[0], xi_ref.at[0], tile=tile, n1=n1,
-                            n2=n2, dot=dot)
+                            xr_ref.at[0, 0], xi_ref.at[0, 0], tile=tile,
+                            n1=n1, n2=n2, dot=dot)
         osa_buf[0, :p] = fr[tile - 1]              # next step's prev
         return
     for t in range(tile):
-        cur = fr_ref[0, t]
+        cur = fr_ref[0, 0, t]
         osa_buf[0, p:] = cur
         at = osa_buf[0].reshape(n1, n2).T          # (n2, n1)
         br = dot(at, f1c)
         bi = dot(at, f1s)
         cr = br * ftcT - bi * ftsT
         ci = br * ftsT + bi * ftcT
-        xr_ref[0, t] = dot(f2cT, cr) - dot(f2sT, ci)
-        xi_ref[0, t] = dot(f2sT, cr) + dot(f2cT, ci)
+        xr_ref[0, 0, t] = dot(f2cT, cr) - dot(f2sT, ci)
+        xi_ref[0, 0, t] = dot(f2sT, cr) + dot(f2cT, ci)
         osa_buf[0, :p] = cur                       # becomes next frame's prev
 
 
@@ -341,8 +391,9 @@ def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str,
     N1, N2 = _pfactor(N)
     K2 = N2 // 2 + 1
     (f1c, f1s, ftcT, ftsT, f2c, f2s), _ = _grid_maps(p)
-    tile = next((t for t in (8, 4, 2, 1) if K % t == 0), 1)
-    x3 = frames.reshape(C, K, p).astype(jnp.float32)
+    tile = min(next((t for t in (8, 4, 2, 1) if K % t == 0), 1),
+               _xform_tile(K, p))
+    x4 = frames.reshape(C, K // tile, tile, p).astype(jnp.float32)
 
     consts = [jnp.asarray(m, jnp.float32)
               for m in (f1c, f1s, ftcT, ftsT, f2c, f2s)]
@@ -352,16 +403,18 @@ def _rfft_frames_impl(frames, p: int, interpret: bool, mode: str,
         partial(_fwd_frames_kernel, tile=tile, n1=N1, n2=N2, p=p,
                 mode=mode, batched=batched),
         grid=(C, K // tile),
-        in_specs=[pl.BlockSpec((1, tile, p), lambda c, ft: (c, ft, _Z0),
+        in_specs=[pl.BlockSpec((1, 1, tile, p),
+                               lambda c, ft: (c, ft, _Z0, _Z0),
                                memory_space=pltpu.VMEM)] + cspec,
-        out_specs=[pl.BlockSpec((1, tile, K2, N1),
-                                lambda c, ft: (c, ft, _Z0, _Z0),
+        out_specs=[pl.BlockSpec((1, 1, tile, K2, N1),
+                                lambda c, ft: (c, ft, _Z0, _Z0, _Z0),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((C, K, K2, N1), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((C, K // tile, tile, K2, N1),
+                                        jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((tile if batched else 1, N),
                                    jnp.float32)],
         interpret=interpret,
-    )(x3, *consts)
+    )(x4, *consts)
     g = K2 * N1
     return (xr.reshape(shape[:-1] + (g,)), xi.reshape(shape[:-1] + (g,)))
 
@@ -387,9 +440,9 @@ def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
     N1, N2 = _pfactor(N)
     K2 = N2 // 2 + 1
     _, (wT, i1cT, i1sT, itcT, itsT, i2c, i2s) = _grid_maps(p)
-    tile = _pick_tile(rows)
-    yr2 = Yr.reshape(rows, K2, N1).astype(jnp.float32)
-    yi2 = Yi.reshape(rows, K2, N1).astype(jnp.float32)
+    tile = min(_pick_tile(rows), _xform_tile(rows, p))
+    yr2 = Yr.reshape(rows // tile, tile, K2, N1).astype(jnp.float32)
+    yi2 = Yi.reshape(rows // tile, tile, K2, N1).astype(jnp.float32)
 
     consts = [jnp.asarray(m, jnp.float32)
               for m in (wT, i1cT, i1sT, itcT, itsT, i2c, i2s)]
@@ -399,11 +452,13 @@ def _irfft_valid_two_stage_impl(Yr, Yi, p: int, interpret: bool,
         partial(_inv_kernel, tile=tile, n1=N1, n2=N2, mode=mode,
                 batched=batched),
         grid=(rows // tile,),
-        in_specs=[pl.BlockSpec((tile, K2, N1), lambda r: (r, _Z0, _Z0),
+        in_specs=[pl.BlockSpec((1, tile, K2, N1),
+                               lambda r: (r, _Z0, _Z0, _Z0),
                                memory_space=pltpu.VMEM)] * 2 + cspec,
-        out_specs=pl.BlockSpec((tile, p), lambda r: (r, _Z0),
+        out_specs=pl.BlockSpec((1, tile, p), lambda r: (r, _Z0, _Z0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows // tile, tile, p),
+                                       jnp.float32),
         interpret=interpret,
     )(yr2, yi2, *consts)
     return out.reshape(shape[:-1] + (p,))

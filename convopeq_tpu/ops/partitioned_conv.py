@@ -352,11 +352,12 @@ def uniform_partitioned_conv(x, Hparts, part_size: int, frame_mac="auto"):
         # DFT + banded-Toeplitz MAC + valid-half synthesis, all MXU — the
         # VPU FFT is the bottleneck at these sizes); large tail partitions
         # keep the FFT + GEMM MAC.
+        from .pallas_gemm_fft import pallas_xform_supported
         if jax.default_backend() == "cpu":
             frame_mac = "fft"
         elif p <= RDFT_MATMUL_MAX_P:
             frame_mac = "rdft"
-        elif _pallas_fft_enabled():
+        elif _pallas_fft_enabled() and pallas_xform_supported(p):
             # tail partitions: fused two-stage Pallas transforms — both
             # GEMM stages + twiddle stay in VMEM, one HBM read/write per
             # frame vs the XLA pipeline's materialized intermediates

@@ -43,3 +43,44 @@ def soft_clip(x, threshold: float, knee: float, asymmetry: float):
     factor = 1.0 - asymmetry * (1.0 - sign) * 0.5 * ks
     y = sign * mixed * factor
     return jnp.where(ax > clip_start, y, x)
+
+
+def soft_clip_local2x(x, threshold: float, knee: float, asymmetry: float):
+    """The local 2x oversampled soft clip (DSPCoreDouble.cpp:491-501:
+    31-tap halfband up -> clip -> down, prepareSingleStage) with the 2x
+    intermediate ELIMINATED by polyphase substitution.
+
+    For the 31-tap reference stage (M=15, conv_parity=0, center phase
+    odd with gain 0.5, center_delay 7):
+
+        u[2n]   = 2 sum_s c[s] x[n-s]      (conv phase)
+        u[2n+1] = 0.5 x[n-7]               (center phase)
+        y[n]    = 0.5 clip(u[2n-15]) + sum_r c[r] clip(u[2n-2r])
+                = 0.5 clip(0.5 x[n-15])
+                  + sum_r c[r] clip(2 sum_s c[s] x[n-r-s])
+
+    — ~32 shifted multiply-adds + two clip passes at BASE rate, all
+    XLA-fusable elementwise work; the staged form costs three chunked
+    Toeplitz GEMM passes over 2x the samples (measured the #2 stage
+    wall of bench config6 at 384 kHz).  Identical math per sample
+    (different summation grouping only: f32 roundoff-level deltas);
+    zero history at the block start, as in the staged form.  The 15
+    base-sample latency (AudioEngine.Processing.Latency.cpp:104) is
+    the x[n-15] delay visible in the formula."""
+    from .oversample import design_halfband
+    x = jnp.asarray(x)
+    st = design_halfband(31, 90.0)
+    assert st.conv_parity == 0 and st.center_parity == 1
+    c = st.conv                      # (16,) host float64
+    n = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(30, 0)])
+    # ue_ext[k] = u[2(k-15)] for k in [0, n+15)
+    ue = c[0] * xp[..., 15:15 + n + 15]
+    for s in range(1, len(c)):
+        ue = ue + c[s] * xp[..., 15 - s:15 - s + n + 15]
+    ue = soft_clip(2.0 * ue, threshold, knee, asymmetry)
+    y = c[0] * ue[..., 15:15 + n]
+    for r in range(1, len(c)):
+        y = y + c[r] * ue[..., 15 - r:15 - r + n]
+    uo = soft_clip(0.5 * xp[..., 15:15 + n], threshold, knee, asymmetry)
+    return 0.5 * uo + y

@@ -528,3 +528,23 @@ def test_fused2_two_level_plan_matches_single_layer():
     rel = np.sqrt(np.mean((y2 - y1) ** 2)) / np.sqrt(np.mean(y1 ** 2))
     assert rel < 1e-12, (rel, [
         (lp.offset, lp.part_size, lp.num_parts) for lp in plans])
+
+
+def test_soft_clip_local2x_polyphase_matches_staged():
+    """The polyphase-substituted local-2x soft clip (no 2x intermediate)
+    equals up(31-tap halfband) -> clip -> down to f64 roundoff."""
+    from convopeq_tpu.ops.softclip import (soft_clip, soft_clip_params,
+                                           soft_clip_local2x)
+    from convopeq_tpu.ops.oversample import (design_halfband,
+                                             oversample_up, oversample_down)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 2, 4096)) * 0.9        # drives the knee hard
+    for sat in (0.0, 0.3, 0.9):
+        thr, knee, asym = soft_clip_params(sat)
+        st = [design_halfband(31, 90.0)]
+        u = oversample_up(jnp.asarray(x), st)
+        u = soft_clip(u, thr, knee, asym)
+        y_ref = np.asarray(oversample_down(u, st))
+        y = np.asarray(soft_clip_local2x(jnp.asarray(x), thr, knee, asym))
+        np.testing.assert_allclose(y, y_ref, rtol=0, atol=1e-12,
+                                   err_msg=f"sat={sat}")

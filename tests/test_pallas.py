@@ -325,7 +325,9 @@ def test_uniform_partitioned_conv_pallas_mac_fallback(monkeypatch):
     monkeypatch.setattr(pg, "irfft_valid_two_stage_pallas",
                         lambda Yr, Yi, pp, interpret=False: orig_i(
                             Yr, Yi, pp, True))
-    # force the gate shut so the XLA grid-MAC fallback path runs
+    # force the gates shut: no fused small-P kernel (this fixture is 3
+    # parts), no grid MAC — the XLA MAC fallback must run
+    monkeypatch.setattr(pg, "fused_conv_supported", lambda pp, P: False)
     monkeypatch.setattr(pg, "causal_mac_grid_supported",
                         lambda K, g, P: False)
     mac_calls = []

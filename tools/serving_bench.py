@@ -238,6 +238,9 @@ def _run_tier(args, ns, cfg, eqp, nuc, fdl_dtype, tier, results,
             float(reduce1(y))
             state, y = sc.multi_step(state, mblocks[1])
             float(reduce1(y))
+            state = y = None        # two live FDL states OOM big tiers
+            import gc
+            gc.collect()
             state = sc.init_state((ns,))
             xrun_m = XrunDetector(SR, BLOCK * M)
             mwalls = []
@@ -458,11 +461,16 @@ def frontier(args):
 
     def measure(step_window, init, M, ns):
         """Run nwin windows of `step_window(state, k) -> state, y`."""
+        import gc
         state = init()
         state, y = step_window(state, 0)
         float(reduce1(y))
         state, y = step_window(state, 1)      # output-state layout warm
         float(reduce1(y))
+        # free the warmed state BEFORE allocating the fresh one: at 512
+        # f32 streams the FDL is 8.4 GB and two live copies OOM the chip
+        state = y = None
+        gc.collect()
         state = init()
         nwin = max(25, args.blocks // M)
         xr = XrunDetector(SR, BLOCK * M)

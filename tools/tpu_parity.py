@@ -120,6 +120,38 @@ def build_fixture():
     return ir, p, cfg, x
 
 
+_CPU_CONV_SNIPPET = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, %(repo)r)
+x = np.load(%(xin)r)
+ir = np.load(%(irin)r)
+from convopeq_tpu.models.convolver import stereo_prepare, convolver_process
+from convopeq_tpu.models.nuc import FilterSpec
+conv = stereo_prepare(jnp.asarray(ir), 512, FilterSpec(sample_rate=48000.0))
+y = np.asarray(convolver_process(jnp.asarray(x), conv, 1.0))
+np.save(%(out)r, y)
+"""
+
+
+def _cpu_conv_golden(x, ir, path="/tmp/convopeq_cpu_conv_ref.npy"):
+    """f64 CPU golden of the stereo nuc3 convolution (subprocess)."""
+    np.save("/tmp/convopeq_conv_x.npy", np.asarray(x, np.float64))
+    np.save("/tmp/convopeq_conv_ir.npy", np.asarray(ir, np.float64))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = _CPU_CONV_SNIPPET % {"repo": REPO,
+                                "xin": "/tmp/convopeq_conv_x.npy",
+                                "irin": "/tmp/convopeq_conv_ir.npy",
+                                "out": path}
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=REPO)
+    return np.load(path)
+
+
 def cpu_reference(path="/tmp/convopeq_cpu_ref.npy"):
     """Compute the f64 CPU golden in a subprocess pinned to the CPU
     backend (keeps this process's TPU backend untouched)."""
@@ -228,6 +260,48 @@ def main():
             result[f"rtf_{label}_error"] = repr(e)[:400]
             print(f"{label}: FAILED {e!r}", file=sys.stderr)
         flush()
+
+    # --- dd nuc3 CONV-only (config4 shapes, VERDICT r3 #4): the staged
+    # 3-layer dd convolution with the dd Pallas pipeline wired at every
+    # partition size it supports.  Honest state: at 20 s signals only
+    # the L2 layer (p=32768) fits the dd MAC kernel's VMEM plan (the
+    # phase-copy scratch scales with the frame count; L0/L1 fall back to
+    # XLA f64 emulation and dominate: measured 254/190/44 ms per layer
+    # at 8 ch-streams) — the dd >=1000x contract is carried by the
+    # FOLDED dd artifact below; this line publishes the staged number.
+    try:
+        from convopeq_tpu.models.convolver import (convolver_process,
+                                                   stereo_prepare)
+        conv_dd = stereo_prepare(
+            jax.device_put(jnp.asarray(ir1m, jnp.float64), dev), 512,
+            FilterSpec(sample_rate=SR))
+        fnc = jax.jit(lambda v, c: jnp.sum(jnp.abs(
+            convolver_process(v, c, 1.0))))
+        xb = jax.device_put(jnp.asarray(
+            rng.normal(size=(4, 2, n)) * 0.25, jnp.float64), dev)
+        float(fnc(xb, conv_dd))
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fnc(xb, conv_dd))
+            walls.append(time.perf_counter() - t0)
+        result["rtf_dd(f64)_nuc3_conv_only"] = round(
+            4 * seconds / min(walls), 1)
+        # RMS vs CPU f64 on a short input (same conv state)
+        x2s = np.random.default_rng(3).normal(size=(2, 96000)) * 0.25
+        y_dd = np.asarray(jax.jit(lambda v, c: convolver_process(
+            v, c, 1.0))(jax.device_put(jnp.asarray(x2s, jnp.float64),
+                                       dev), conv_dd))
+        y_ref = _cpu_conv_golden(x2s, ir1m)
+        rel_c = float(np.sqrt(np.mean((y_dd - y_ref) ** 2))
+                      / np.sqrt(np.mean(y_ref ** 2)))
+        result["rms_rel_err_dd_nuc3_conv_vs_f64_cpu"] = rel_c
+        print(f"dd nuc3 conv: RTF "
+              f"{result['rtf_dd(f64)_nuc3_conv_only']}x, RMS {rel_c:.2e}",
+              file=sys.stderr)
+    except Exception as e:                           # noqa: BLE001
+        result["rtf_dd(f64)_nuc3_conv_error"] = repr(e)[:400]
+    flush()
 
     # --- folded static-config mode (models/chain.py): the same LTI
     # stages host-convolved into the IR at rebuild time; the runtime
