@@ -34,26 +34,97 @@ def dc_blocker_alphas(sample_rate: float, cutoff_hz: float):
     return alphas
 
 
+_DC_KERNEL_CACHE: dict = {}
+DC_CHUNK = 128
+
+
+def _dc_kernels(a0: float, a1: float, chunk: int):
+    """Host-f64 direct-Toeplitz operands for the 2-state dc recurrence.
+
+    With drive bu[j] = u x[j] (u = [a0, a1 b0] — a rank-1 function of
+    the input) the in-chunk solution is
+
+        s_pre[i] = A^i s_b + sum_{j<i} w[i-1-j] x[j],   w[k] = A^k u
+
+    i.e. per state component ONE strictly-lower Toeplitz matmul on x
+    itself — no bu or pre-state tensors ever materialize (the generic
+    affine_scan_2x2 form costs four GEMMs plus two full (N, 2)
+    write+read passes; measured 80 -> ~45 ms at 512 streams x 480k
+    @384 kHz).  Row `chunk` of each Toeplitz carries the chunk-boundary
+    drive.  A^k is computed here in exact f64 (the device log-doubling
+    composes the same products in matmul precision)."""
+    key = (a0, a1, chunk)
+    got = _DC_KERNEL_CACHE.get(key)
+    if got is not None:
+        return got
+    b0, b1 = 1.0 - a0, 1.0 - a1
+    A = np.array([[b0, 0.0], [-a1 * b0, b1]], np.float64)
+    u = np.array([a0, a1 * b0], np.float64)
+    P = np.empty((chunk + 1, 2, 2))
+    P[0] = np.eye(2)
+    for k in range(chunk):
+        P[k + 1] = A @ P[k]
+    w = P[:chunk] @ u                           # (chunk, 2)
+    idx = np.subtract.outer(np.arange(chunk + 1), np.arange(chunk)) - 1
+    T = np.where(idx[..., None] >= 0,
+                 w[np.clip(idx, 0, chunk - 1)], 0.0)   # (chunk+1, chunk, 2)
+    out = (P, T[..., 0].T.copy(), T[..., 1].T.copy())  # T_c: (chunk, chunk+1)
+    _DC_KERNEL_CACHE[key] = out
+    return out
+
+
 def dc_block(x, sample_rate: float, cutoff_hz: float, state0=None):
     """Apply the 2-stage DC blocker along the last axis.
 
     Returns (y, final_state) with state = (s0, s1).  (A cascaded
     two-one-pole decomposition was tried and measured slower than the
-    fused 2x2 scan on TPU.)
+    fused 2x2 scan on TPU.)  Uses the direct-Toeplitz form (see
+    `_dc_kernels`); the boundary states across chunks follow via the
+    generic affine scan over N/chunk elements.
     """
+    import jax
     x = jnp.asarray(x)
     dt = x.dtype
     a0, a1 = dc_blocker_alphas(sample_rate, cutoff_hz)
     b0 = 1.0 - a0
     b1 = 1.0 - a1
-
-    A = jnp.asarray([[b0, 0.0],
-                     [-a1 * b0, b1]], dt)
-    bu = jnp.stack([a0 * x, a1 * b0 * x], axis=-1)
+    n = x.shape[-1]
+    batch = x.shape[:-1]
     if state0 is None:
-        state0 = jnp.zeros(x.shape[:-1] + (2,), dt)
-    pre, final = affine_scan_2x2(A, bu, state0)
-    s0 = pre[..., 0]
-    s1 = pre[..., 1]
-    y = b1 * (b0 * (x - s0) - s1)
+        state0 = jnp.zeros(batch + (2,), dt)
+
+    chunk = min(DC_CHUNK, n)
+    nc = -(-n // chunk)
+    npad = nc * chunk
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, npad - n)]) \
+        if npad != n else x
+    xr = xp.reshape(batch + (nc, chunk))
+    P, T0, T1 = _dc_kernels(a0, a1, chunk)
+    hi = jax.lax.Precision.HIGHEST
+    d0 = jnp.matmul(xr, jnp.asarray(T0, dt), precision=hi)  # (..., nc, chunk+1)
+    d1 = jnp.matmul(xr, jnp.asarray(T1, dt), precision=hi)
+    # chunk-boundary states: s_{b+1} = A^chunk s_b + drive_end[b]
+    Ac = jnp.asarray(P[chunk], dt)
+    dend = jnp.stack([d0[..., chunk], d1[..., chunk]], axis=-1)
+    sb, s_after = affine_scan_2x2(Ac, dend, state0)          # (..., nc, 2)
+    # y[i] = b1 (b0 (x - s0_pre) - s1_pre), s_pre = A^i s_b + drive[i]
+    Pj = jnp.asarray(P[:chunk], dt)                          # (chunk, 2, 2)
+    s0p = jnp.einsum("...nc,kc->...nk", sb, Pj[:, 0, :],
+                     precision=hi) + d0[..., :chunk]
+    s1p = jnp.einsum("...nc,kc->...nk", sb, Pj[:, 1, :],
+                     precision=hi) + d1[..., :chunk]
+    y = b1 * (b0 * (xr - s0p) - s1p)
+    y = y.reshape(batch + (npad,))[..., :n]
+    if npad != n:
+        # true final state = state at offset k of the LAST chunk (the
+        # padded boundary recursion ran over zeros): A^k s_b + drive[k].
+        # x[j >= n] is zero so Toeplitz row k (covering j < k) is exact.
+        k = n - (nc - 1) * chunk
+        s_last = sb[..., -1, :]
+        Pk = jnp.asarray(P[k], dt)
+        sf = jnp.einsum("...c,dc->...d", s_last, Pk, precision=hi) \
+            + jnp.stack([d0[..., -1, k], d1[..., -1, k]], axis=-1)
+        final = sf
+    else:
+        final = s_after
     return y, final
