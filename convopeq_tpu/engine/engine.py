@@ -661,7 +661,8 @@ class ConvoPeqEngine:
         return y
 
     def streaming_chain(self, folded: bool = False, fdl_dtype=None,
-                        donate_state: bool = False):
+                        donate_state: bool = False,
+                        partition: int | None = None):
         """Build the block-at-a-time serving chain for the current config
         (runtime/streaming.py).  Oversampled configs run the convolver at
         the processing rate, so the base-rate block is
@@ -672,10 +673,19 @@ class ConvoPeqEngine:
         per-block step is just sanitize -> NUC -> scalar gains — the
         high-stream-count tier; requires a fused-eligible config and a
         loaded IR.  fdl_dtype (e.g. jnp.float16) selects the stored FDL
-        spectra dtype for serving-scale state."""
+        spectra dtype for serving-scale state.  partition (folded only)
+        selects the BIGBLOCK windowed tier: a single-layer plan whose
+        partition is the serving window (e.g. 16*block) — algorithm
+        latency grows to the window, and the FDL is re-read once per
+        window instead of once per block, the M-x HBM-bandwidth saving
+        that holds 1024 concurrent 1M-tap streams xrun-free
+        (SERVING.json latency_frontier; tools/serving_bench.py)."""
         from ..runtime.streaming import StreamingChain
         cfg = self._effective_config()
         eqp = self.eq_params if not cfg.eq_bypassed else None
+        if partition is not None and not folded:
+            raise ValueError("partition (the bigblock tier) requires "
+                             "folded=True")
         if folded:
             import jax.numpy as jnp
             if self._ir_prepared is None:
@@ -684,7 +694,7 @@ class ConvoPeqEngine:
                 cfg, eqp, jnp.asarray(self._ir_prepared, self.dtype),
                 self.filter_spec, block_size=self.block_size,
                 dtype=self.dtype, fdl_dtype=fdl_dtype,
-                donate_state=donate_state)
+                donate_state=donate_state, partition=partition)
         left = self._conv_state.left if self._conv_state is not None else None
         right = self._conv_state.right if self._conv_state is not None else None
         return StreamingChain(cfg, eqp, left, right, dtype=self.dtype,

@@ -417,3 +417,35 @@ def test_engine_folded_streaming_matches_offline_fused():
     ref = np.sqrt(np.mean(y_off[..., sl] ** 2))
     err = np.sqrt(np.mean((y[..., sl] - y_off[..., sl]) ** 2)) / ref
     assert err < 1e-9, err
+
+
+def test_engine_streaming_chain_bigblock_tier():
+    """engine.streaming_chain(folded=True, partition=M*block) builds the
+    bigblock windowed serving tier: single-layer plan at the window
+    partition, step == one window, output equal to the per-block folded
+    tier in steady state."""
+    import numpy as np
+    import jax.numpy as jnp
+    eng = ConvoPeqEngine(SR, 512)
+    eng.load_impulse_response(_ir(40000), SR)
+    eng.set_eq_band(0, band_type=1, freq=1000.0, gain_db=3.0, q=1.0,
+                    enabled=True)
+    sc_bb = eng.streaming_chain(folded=True, partition=8 * 512)
+    assert sc_bb.block_size == 8 * 512
+    assert len(sc_bb.left.plan.layers) == 1
+    sc_ref = eng.streaming_chain(folded=True)
+    assert sc_ref.block_size == 512
+    rng = np.random.default_rng(3)
+    n = 16 * 4096
+    x = rng.normal(size=(2, n)) * 0.3
+    y_bb, _ = sc_bb.process(jnp.asarray(x, jnp.float64))
+    y_ref, _ = sc_ref.process(jnp.asarray(x, jnp.float64))
+    warm = max(lp.offset + 2 * lp.part_size
+               for lp in sc_ref.left.plan.layers)
+    err = np.sqrt(np.mean((np.asarray(y_bb)[..., warm:]
+                           - np.asarray(y_ref)[..., warm:]) ** 2))
+    ref = np.sqrt(np.mean(np.asarray(y_ref)[..., warm:] ** 2))
+    assert err / ref < 1e-9, err / ref
+    import pytest
+    with pytest.raises(ValueError):
+        eng.streaming_chain(partition=4096)        # needs folded=True
