@@ -259,6 +259,32 @@ def fixed15_xoshiro_seeds(sample_rate: float, bit_depth: int,
     return tuple(s)
 
 
+def psycho_fallback_uniforms(n: int, channel: int,
+                             base_seed: int) -> np.ndarray:
+    """The PsychoacousticDither deterministic non-MKL RNG: the ctor
+    seeds a SplitMix64 from `base_seed` and draws one 64-bit seed per
+    channel 0..7 (PsychoacousticDither.h:122-137); the per-channel
+    fallback state is seed ^ 0xd1b54a32d192ed03, stepped by xorshift64
+    (12/25/27) with a Marsaglia multiplier and a 53-bit mantissa map
+    (PsychoacousticDither.h:477-489).  Bit-exact vs the reference
+    binary (tests/ref_harness/dump_shapers.cpp psycho_* vectors)."""
+    stream = int(base_seed) & _M64
+    seed_ch = 0
+    for _ in range(channel + 1):
+        stream, seed_ch = _splitmix64(stream)
+    x = (seed_ch ^ 0xD1B54A32D192ED03) & _M64
+    out = np.empty(n, np.float64)
+    mul = 2685821657736338717
+    inv53 = 1.0 / 9007199254740992.0
+    for i in range(n):
+        x ^= x >> 12
+        x = (x ^ (x << 25)) & _M64
+        x ^= x >> 27
+        z = (x * mul) & _M64
+        out[i] = float(z >> 11) * inv53
+    return out
+
+
 def tpdf_from_uniforms(u: jnp.ndarray) -> jnp.ndarray:
     """TPDF in [-1, 1]: (u1-0.5)+(u2-0.5); u shape (..., N, 2)."""
     return (u[..., 0] - 0.5) + (u[..., 1] - 0.5)
@@ -278,6 +304,18 @@ def _round_half_even(v):
     return jnp.round(v)   # jnp.round is round-half-to-even, matching SSE4.1
 
 
+def _nc(v):
+    """No-contract: isolate a product so XLA cannot fuse it into an FMA.
+    The error-feedback trajectories are chaotic at the ULP level, so the
+    pinned cross-implementation contract (tests/test_ref_vectors.py vs
+    the reference binary compiled -ffp-contract=off; TPU scan vs the
+    Pallas quantizer, which performs separate mul/add under Mosaic) is
+    PLAIN IEEE mul-then-add.  Without this, XLA:CPU contracts the
+    feedback sums and the psycho trajectory flips from the golden within
+    ~400 samples (measured)."""
+    return jax.lax.optimization_barrier(v)
+
+
 def _scan_unroll() -> int:
     """Unroll factor for the per-sample scans: TPU scan-iteration overhead
     dominates the tiny body (measured 1.08 us/sample at unroll=1 vs 252 ns
@@ -294,6 +332,213 @@ def _use_pallas_quantizer(x) -> bool:
         return False
     return (jax.default_backend() not in ("cpu",)
             and jnp.asarray(x).dtype == jnp.float32)
+
+
+def _use_residual_quantizer(x) -> bool:
+    """Route f64 dithering on a real TPU through the LSB-residual
+    quantizer (below): TPU f64 is software-emulated and the per-sample
+    scan step costs ~3.5 us/sample emulated vs ~0.25 us in f32 (a 14x
+    wall difference on the sequential path that batch cannot hide).
+    CONVOPEQ_DD_DITHER=scan forces the plain f64 scans; =residual forces
+    the residual kernels even on CPU (used by the equivalence tests)."""
+    import os
+    mode = os.environ.get("CONVOPEQ_DD_DITHER", "auto")
+    if mode == "scan":
+        return False
+    if mode == "residual":
+        return True
+    return (jax.default_backend() not in ("cpu",)
+            and jnp.asarray(x).dtype == jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# LSB-residual dd quantizers
+#
+# The reference runs its dither/noise-shaping loops in full f64
+# (PsychoacousticDither.h:323-354, LatticeNoiseShaper.h:229-295).  A TPU
+# has no native f64, and the error-feedback loop is sequential — the
+# emulated-f64 scan is the single slowest stage of any dd chain.  The
+# TPU-native carry of the 64-bit contract splits the computation by SCALE
+# instead of by operation:
+#
+#   t = x*headroom/scale  (exact f64: scale is a power of two)
+#   M = round(t)          (integer part, |M| <= inv_scale = 2^(bits-1))
+#   f = t - M             (EXACT f64 fractional part, |f| <= 0.5)
+#
+# M, f, the TPDF draw d = u1+u2-1, and the clip bounds relative to M are
+# all vectorized f64 precomputes.  Every quantity the SEQUENTIAL loop
+# touches — f, d, the shaper states (error-feedback history), the
+# feedback sum, the rounding offset r = q - M — is O(1) in LSB units, so
+# the loop runs in plain f32 with ~2^-24 ABSOLUTE accuracy, which is
+# 2^-24 * scale ~= 2^-47 in signal units: tighter than the dd conv
+# pipeline's own ~2^-42 truncation.  The output (M + r) * scale is
+# reconstructed exactly in f64 (M and r are exact small integers in f32;
+# scale is a power of two).
+#
+# Deviation from the all-f64 scan: a rounding decision flips only when
+# the f64 pre-quantization value sits within ~2^-23 LSB of a half-integer
+# boundary (accumulated f32 roundoff in the ladder), i.e. ~1e-7
+# probability per sample; each flip is one LSB at one sample.  On a 60 s
+# stereo fixture the expected contribution is ~1e-10 relative RMS — two
+# orders under the 1e-9 contract, and measured directly by the
+# PARITY_TPU.json dd semi-folded artifact (TPU residual vs CPU f64 scan).
+# Exact-tie semantics differ (round(M+w) ties to even of M+w, the
+# residual ties to even of w): reachable only when the f64 dither sum
+# lands the value on an exactly representable .5 — measure-zero for
+# continuous uniforms.
+# ---------------------------------------------------------------------------
+
+
+def _residual_inputs(x, uniforms, bit_depth: int, headroom: float):
+    """Vectorized f64 precompute for the residual quantizers: returns
+    (M64, f, d, lo, hi) with f/d/lo/hi in f32 LSB units."""
+    scale, inv_scale = quant_scales(bit_depth)
+    t64 = (x * headroom) / scale          # exact: scale = 2^-(bits-1)
+    m64 = jnp.round(t64)
+    f = (t64 - m64).astype(jnp.float32)   # exact in f64; one f32 cast
+    u = jnp.asarray(uniforms, jnp.float64)
+    d = (u[..., 0] + u[..., 1] - 1.0).astype(jnp.float32)
+    # clip bounds relative to M: integers of magnitude <= 2^bits, exact
+    # in f32
+    lo = (-inv_scale - m64).astype(jnp.float32)
+    hi = (inv_scale - 1.0 - m64).astype(jnp.float32)
+    return m64, f, d, lo, hi
+
+
+def _residual_state_in(state, batch, order, scale):
+    """External shaper carries are f64 signal-unit arrays (the scan
+    kernels' contract); the residual loop carries f32 LSB units."""
+    if state is None:
+        return jnp.zeros(batch + (order,), jnp.float32)
+    return (jnp.asarray(state, jnp.float64) / scale).astype(jnp.float32)
+
+
+def _residual_finish(m64, r, state_f32, scale, return_state):
+    q = (m64 + r.astype(jnp.float64)) * scale
+    if not return_state:
+        return q
+    return q, state_f32.astype(jnp.float64) * scale
+
+
+def psycho_dither_residual(x, uniforms, sample_rate: float, bit_depth: int,
+                           headroom: float = K_OUTPUT_HEADROOM,
+                           state=None, return_state: bool = False):
+    """LSB-residual form of `psycho_dither` (see block comment above).
+    The psychoacoustic loop has no clamps: tmp = x*h + d*scale + sum c z;
+    q = round(tmp/scale); err = (tmp - q*scale)/scale — all O(1) in LSB
+    units once M is split off."""
+    if bit_depth <= 0:
+        out = x * headroom
+        return (out, state) if return_state else out
+    x = jnp.asarray(x, jnp.float64)
+    scale, _ = quant_scales(bit_depth)
+    c = jnp.asarray(psycho_coeffs(sample_rate, bit_depth), jnp.float32)
+    m64, f, d, _lo, _hi = _residual_inputs(x, uniforms, bit_depth, headroom)
+    batch = x.shape[:-1]
+    z0 = _residual_state_in(state, batch, NS_ORDER_PSYCHO, scale)
+
+    def step(z, inp):
+        fi, di = inp
+        shaped = _nc(c[0] * z[..., 0])
+        for i in range(1, NS_ORDER_PSYCHO):
+            shaped = shaped + _nc(c[i] * z[..., i])
+        w = fi + di + shaped
+        r = _round_half_even(w)
+        err = w - r
+        z = jnp.concatenate([err[..., None], z[..., :-1]], axis=-1)
+        return z, r
+
+    xs = (jnp.moveaxis(f, -1, 0), jnp.moveaxis(d, -1, 0))
+    zf, r = jax.lax.scan(step, z0, xs, unroll=_scan_unroll())
+    return _residual_finish(m64, jnp.moveaxis(r, 0, -1), zf, scale,
+                            return_state)
+
+
+def fixed_shaper_dither_residual(x, uniforms, coeffs, bit_depth: int,
+                                 headroom: float = K_OUTPUT_HEADROOM,
+                                 range_clamp: bool = False,
+                                 state=None, return_state: bool = False):
+    """LSB-residual form of `fixed_shaper_dither`: y = x*h - fb;
+    quantize clamps y to fullscale (the lo/hi bounds relative to M),
+    adds TPDF, rounds, and (Fixed15) clamps the integer; err = clip(q -
+    y, +-2) in LSB units."""
+    if bit_depth <= 0:
+        out = x * headroom
+        return (out, state) if return_state else out
+    x = jnp.asarray(x, jnp.float64)
+    scale, _ = quant_scales(bit_depth)
+    c = jnp.asarray(coeffs, jnp.float32)
+    order = c.shape[0]
+    m64, f, d, lo, hi = _residual_inputs(x, uniforms, bit_depth, headroom)
+    batch = x.shape[:-1]
+    e0 = _residual_state_in(state, batch, order, scale)
+
+    def step(e, inp):
+        fi, di, loi, hii = inp
+        fb = _nc(c[0] * e[..., 0])
+        for i in range(1, order):
+            fb = fb + _nc(c[i] * e[..., i])
+        t = fi - fb                       # y - M in LSB units
+        y1 = jnp.clip(t, loi, hii)
+        r = _round_half_even(y1 + di)
+        if range_clamp:
+            r = jnp.clip(r, loi, hii)
+        err = jnp.clip(r - t, -ERROR_CLAMP_FACTOR, ERROR_CLAMP_FACTOR)
+        e = jnp.concatenate([err[..., None], e[..., :-1]], axis=-1)
+        return e, r
+
+    xs = tuple(jnp.moveaxis(v, -1, 0) for v in (f, d, lo, hi))
+    ef, r = jax.lax.scan(step, e0, xs, unroll=_scan_unroll())
+    return _residual_finish(m64, jnp.moveaxis(r, 0, -1), ef, scale,
+                            return_state)
+
+
+def lattice_dither_residual(x, uniforms, reflection_coeffs, bit_depth: int,
+                            headroom: float = K_OUTPUT_HEADROOM,
+                            state=None, return_state: bool = False):
+    """LSB-residual form of `lattice_dither`: tmp = x*h + fb; quantize
+    with fullscale + integer clamps; err = clip(q - tmp, +-2); ladder
+    advance with the +-2.0-signal-unit state clamp expressed in LSB
+    units (+-2*inv_scale <= 2^24, exactly representable in f32)."""
+    if bit_depth <= 0:
+        out = x * headroom
+        return (out, state) if return_state else out
+    x = jnp.asarray(x, jnp.float64)
+    scale, inv_scale = quant_scales(bit_depth)
+    k = jnp.clip(jnp.nan_to_num(
+        jnp.asarray(reflection_coeffs, jnp.float32)),
+        -LATTICE_COEFF_LIMIT, LATTICE_COEFF_LIMIT)
+    order = k.shape[0]
+    state_lim = jnp.float32(LATTICE_STATE_LIMIT * inv_scale)
+    m64, f, d, lo, hi = _residual_inputs(x, uniforms, bit_depth, headroom)
+    batch = x.shape[:-1]
+    s0 = _residual_state_in(state, batch, order, scale)
+
+    def step(s, inp):
+        fi, di, loi, hii = inp
+        fb = _nc(k[0] * s[..., 0])
+        for i in range(1, order):
+            fb = fb + _nc(k[i] * s[..., i])
+        t = fi + fb                       # tmp - M in LSB units
+        y1 = jnp.clip(t, loi, hii)
+        r = jnp.clip(_round_half_even(y1 + di), loi, hii)
+        err = jnp.clip(r - t, -ERROR_CLAMP_FACTOR, ERROR_CLAMP_FACTOR)
+
+        fwd = err
+        new_s = []
+        for i in range(order):
+            nf = fwd + _nc(k[i] * s[..., i])
+            nb = jnp.clip(_nc(k[i] * fwd) + s[..., i], -state_lim,
+                          state_lim)
+            fwd = nf
+            new_s.append(nb)
+        s = jnp.stack(new_s, axis=-1)
+        return s, r
+
+    xs = tuple(jnp.moveaxis(v, -1, 0) for v in (f, d, lo, hi))
+    sf, r = jax.lax.scan(step, s0, xs, unroll=_scan_unroll())
+    return _residual_finish(m64, jnp.moveaxis(r, 0, -1), sf, scale,
+                            return_state)
 
 
 def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
@@ -321,10 +566,10 @@ def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
         xi, di = inp
         # explicit left-to-right sum: error-feedback loops are chaotic at
         # the ULP level, so the reduction order is part of the contract
-        shaped = c[0] * z[..., 0]
+        shaped = _nc(c[0] * z[..., 0])
         for i in range(1, NS_ORDER_PSYCHO):
-            shaped = shaped + c[i] * z[..., i]
-        tmp = xi * headroom + di + shaped
+            shaped = shaped + _nc(c[i] * z[..., i])
+        tmp = _nc(xi * headroom) + di + shaped
         q = _round_half_even(tmp / scale) * scale
         err = tmp - q
         z = jnp.concatenate([err[..., None], z[..., :-1]], axis=-1)
@@ -344,7 +589,7 @@ def _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp: bool):
     extra_clamp adds the Lattice variant's integer-range clamp
     (LatticeNoiseShaper.h:203-227)."""
     y = jnp.clip(y, -1.0, 1.0 - 1.0 / inv_scale)
-    y = y + (u1 + u2 - 1.0) * scale
+    y = y + _nc((u1 + u2 - 1.0) * scale)
     q = _round_half_even(y * inv_scale)
     if extra_clamp:
         q = jnp.clip(q, -inv_scale, inv_scale - 1.0)
@@ -377,10 +622,10 @@ def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
 
     def step(e, inp):
         xi, u1, u2 = inp
-        fb = c[0] * e[..., 0]
+        fb = _nc(c[0] * e[..., 0])
         for i in range(1, order):
-            fb = fb + c[i] * e[..., i]
-        y = xi * headroom - fb
+            fb = fb + _nc(c[i] * e[..., i])
+        y = _nc(xi * headroom) - fb
         q = _ef_quantize(y, u1, u2, scale, inv_scale,
                          extra_clamp=range_clamp)
         err = jnp.clip(q - y, -ERROR_CLAMP_FACTOR * scale,
@@ -423,18 +668,18 @@ def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
 
     def step(s, inp):
         xi, u1, u2 = inp
-        fb = k[0] * s[..., 0]
+        fb = _nc(k[0] * s[..., 0])
         for i in range(1, order):
-            fb = fb + k[i] * s[..., i]
-        tmp = xi * headroom + fb
+            fb = fb + _nc(k[i] * s[..., i])
+        tmp = _nc(xi * headroom) + fb
         q = _ef_quantize(tmp, u1, u2, scale, inv_scale, extra_clamp=True)
         err = jnp.clip(q - tmp, -ERROR_CLAMP_FACTOR * scale,
                        ERROR_CLAMP_FACTOR * scale)
 
         def stage(fwd, sk):
             si, ki = sk
-            nf = fwd + ki * si
-            nb = jnp.clip(ki * fwd + si, -LATTICE_STATE_LIMIT,
+            nf = fwd + _nc(ki * si)
+            nb = jnp.clip(_nc(ki * fwd) + si, -LATTICE_STATE_LIMIT,
                           LATTICE_STATE_LIMIT)
             return nf, nb
 
@@ -514,6 +759,29 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
         q = error_feedback_quantize(xr, ur, coeffs, scale, headroom,
                                     mode=mode)
         return q.reshape(x.shape)
+    if _use_residual_quantizer(x):
+        # f64 contract on a chip with no native f64: LSB-residual
+        # kernels (sequential path in f32 LSB units, ~2^-47 signal-unit
+        # accuracy — see the block comment above their definitions)
+        if shaper_type == PSYCHOACOUSTIC:
+            return psycho_dither_residual(
+                x, uniforms, sample_rate, bit_depth, headroom,
+                state=state, return_state=return_state)
+        if shaper_type == FIXED4:
+            return fixed_shaper_dither_residual(
+                x, uniforms, fixed4_coeffs(sample_rate), bit_depth,
+                headroom, state=state, return_state=return_state)
+        if shaper_type == FIXED15:
+            return fixed_shaper_dither_residual(
+                x, uniforms, fixed15_coeffs(sample_rate), bit_depth,
+                headroom, range_clamp=True,
+                state=state, return_state=return_state)
+        if shaper_type == ADAPTIVE9:
+            k = adaptive_coeffs if adaptive_coeffs is not None \
+                else np.zeros(9)
+            return lattice_dither_residual(
+                x, uniforms, k, bit_depth, headroom,
+                state=state, return_state=return_state)
     if shaper_type == PSYCHOACOUSTIC:
         return psycho_dither(x, uniforms, sample_rate, bit_depth, headroom,
                              state=state, return_state=return_state)

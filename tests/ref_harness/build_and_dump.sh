@@ -37,10 +37,26 @@ echo "wrote $OUT/svf_coeffs.json"
 # Noise shapers: pure headers with deterministic internal RNGs — the
 # dumped quantized outputs are exact (bit-level) ground truth for
 # models/dither.py's error-feedback kernels.
-g++ -std=c++20 -O2 -mavx2 -mfma -I"$REF/src" -I"$HERE/stub_include" \
+# -ffp-contract=off: the pinned contract for the chaotic error-feedback
+# loops is plain IEEE mul-then-add on both sides (the scan kernels
+# barrier every product; FMA contraction flips trajectories within ~400
+# samples).
+g++ -std=c++20 -O2 -mavx2 -mfma -ffp-contract=off \
+    -D'jassert(x)=((void)0)' -I"$REF/src" -I"$HERE/stub_include" \
     "$HERE/dump_shapers.cpp" -o /tmp/dump_shapers
 /tmp/dump_shapers > "$OUT/shapers.json"
 echo "wrote $OUT/shapers.json"
+
+# PsychoacousticDither: stub mkl_vsl.h fails vslNewStream, driving the
+# deterministic SplitMix64-seeded xorshift64* fallback RNG; per-sample
+# process() calls so one scalar expression instance carries both
+# channels (the stereo loop's two instances vectorize asymmetrically).
+g++ -std=c++20 -O2 -mavx2 -mfma -ffp-contract=off \
+    -D'jassert(x)=((void)0)' -I"$REF/src" -I"$HERE/stub_include" \
+    "$HERE/dump_psycho.cpp" "$REF/src/PsychoacousticDither.cpp" \
+    -o /tmp/dump_psycho
+/tmp/dump_psycho > "$OUT/psycho.json"
+echo "wrote $OUT/psycho.json"
 
 # Oversampler: Kaiser-halfband cascade — stateful block outputs are
 # exact ground truth for ops/oversample.py (design + both phase kernels)

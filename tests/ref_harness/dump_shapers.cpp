@@ -28,6 +28,7 @@
 #include "FixedNoiseShaper.h"
 #include "Fixed15TapNoiseShaper.h"
 #include "LatticeNoiseShaper.h"
+// (PsychoacousticDither has its own dump TU: dump_psycho.cpp)
 
 static constexpr int N = 2048;
 static constexpr double SR = 48000.0;
@@ -87,7 +88,48 @@ int main() {
         std::vector<double> L(inL), R(inR);
         lat.processStereoBlock(L.data(), R.data(), N, HEADROOM);
         dump_array("lattice_16bit_l", L.data(), N, false);
-        dump_array("lattice_16bit_r", R.data(), N, true);
+        dump_array("lattice_16bit_r", R.data(), N, false);
+    }
+
+    // ---- Lattice long-horizon drift probe -------------------------------
+    // 320k samples through the reference's own lattice with a
+    // learner-produced coefficient bank (the rebuild's 48k/16 factory
+    // bank): per-32k-window noise RMS in LSB units documents whether the
+    // ladder's unipotent state coupling drifts into its +-2.0 clamp on
+    // the REFERENCE binary too (same structure, advanceState
+    // LatticeNoiseShaper.h:258-283).
+    {
+        const int NL = 320000;
+        std::vector<double> xL(NL), xR(NL);
+        for (int i = 0; i < NL; ++i) {
+            xL[i] = 0.37 * std::sin(2.0 * M_PI * 997.0 * i / SR)
+                  + 0.05 * std::sin(2.0 * M_PI * 31.0 * i / SR);
+            xR[i] = 0.29 * std::cos(2.0 * M_PI * 1471.0 * i / SR);
+        }
+        LatticeNoiseShaper lat;
+        lat.prepare(16);
+        const double k[9] = {-0.18845354367844672, 0.10410322511194921,
+                             0.23581883988286004, 0.12979551027980982,
+                             0.41149756090684103, -0.3071548637209,
+                             -0.46457321791269673, -0.07147346447828133,
+                             -0.1523930498659561};
+        lat.setCoefficients(k, 9);
+        std::vector<double> L(xL), R(xR);
+        lat.processStereoBlock(L.data(), R.data(), NL, HEADROOM);
+        const double lsb = 1.0 / 32768.0;
+        std::printf("  \"lattice_long_window_rms_lsb\": [");
+        const int W = 32000;
+        for (int w = 0; w < NL / W; ++w) {
+            double acc = 0.0;
+            for (int i = w * W; i < (w + 1) * W; ++i) {
+                const double e = L[i] - xL[i] * HEADROOM;
+                acc += e * e;
+            }
+            std::printf("%.6g%s", std::sqrt(acc / W) / lsb,
+                        w + 1 < NL / W ? "," : "");
+        }
+        std::printf("],\n");
+        dump_array("lattice_long_tail_l", L.data() + NL - 256, 256, true);
     }
 
     std::printf("}\n");

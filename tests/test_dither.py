@@ -304,3 +304,107 @@ def test_engine_streaming_dither_interleaved_streams():
                                   np.asarray(ya_solo))
     np.testing.assert_array_equal(np.concatenate(outb, -1),
                                   np.asarray(yb_solo))
+
+
+# ---------------------------------------------------------------------------
+# LSB-residual dd quantizers (the TPU f64 fast path) vs the plain f64
+# scans.  The residual kernels run the sequential loop in f32 LSB units
+# (~2^-47 signal-unit absolute accuracy).  The error-feedback loops are
+# chaotic: psycho/fixed15 recurrences amplify any arithmetic difference
+# exponentially and the reference lattice ladder drifts (see
+# test_ref_vectors.test_lattice_long_horizon_rail_matches_reference_
+# binary), so full-sequence equality across arithmetic is impossible in
+# principle (the reference itself diverges between its own builds under
+# fp:fast).  The testable residual contract is: (a) bit-exact agreement
+# over a pre-onset window (the ~2^-24 LSB initial deviation needs
+# hundreds of samples of chaotic growth before it can flip a rounding),
+# (b) outputs on the exact quantization grid, (c) streaming-carry
+# consistency.
+# ---------------------------------------------------------------------------
+
+def _run_both(x, u, shaper, sr, bits, k9, monkeypatch):
+    monkeypatch.setenv("CONVOPEQ_DD_DITHER", "scan")
+    q_scan = np.asarray(apply_dither(x, shaper, sr, bits, uniforms=u,
+                                     adaptive_coeffs=k9))
+    monkeypatch.setenv("CONVOPEQ_DD_DITHER", "residual")
+    q_res = np.asarray(apply_dither(x, shaper, sr, bits, uniforms=u,
+                                    adaptive_coeffs=k9))
+    return q_scan, q_res
+
+
+@pytest.mark.parametrize("shaper", [PSYCHOACOUSTIC, FIXED4, FIXED15,
+                                    ADAPTIVE9])
+def test_residual_quantizer_pre_onset_exact(shaper, monkeypatch):
+    """First 128 samples bit-exact vs the f64 scan: validates every
+    constant, clamp and op of the residual reformulation (a wrong op
+    flips within a few samples; the ~2^-24 arithmetic deviation needs
+    hundreds of chaotic doublings first)."""
+    n = 128
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, n)) * 0.3, jnp.float64)
+    u = jnp.asarray(rng.random(size=(3, n, 2)), jnp.float64)
+    k9 = np.array([0.31, -0.22, 0.15, -0.09, 0.06, -0.04, 0.02,
+                   -0.012, 0.008])
+    q_scan, q_res = _run_both(x, u, shaper, SR, 24, k9, monkeypatch)
+    np.testing.assert_array_equal(q_res, q_scan)
+
+
+@pytest.mark.parametrize("shaper", [PSYCHOACOUSTIC, FIXED4, FIXED15,
+                                    ADAPTIVE9])
+def test_residual_quantizer_long_run_on_grid(shaper, monkeypatch):
+    """Over 50k samples the residual output stays ON the quantization
+    grid and within the clip range — chaos may pick a different valid
+    noise trajectory, never an off-grid or out-of-range value."""
+    n = 50_000
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, n)) * 0.3, jnp.float64)
+    u = jnp.asarray(rng.random(size=(2, n, 2)), jnp.float64)
+    k9 = np.array([0.05, -0.03, 0.02, -0.01, 0.01, 0.0, 0.0, 0.0, 0.0])
+    monkeypatch.setenv("CONVOPEQ_DD_DITHER", "residual")
+    q = np.asarray(apply_dither(x, shaper, SR, 24, uniforms=u,
+                                adaptive_coeffs=k9))
+    scale, inv = quant_scales(24)
+    grid = q / scale
+    np.testing.assert_allclose(grid, np.round(grid), atol=0)
+    if shaper in (FIXED15, ADAPTIVE9):   # only these clamp the integer
+        assert grid.max() <= inv - 1 and grid.min() >= -inv
+
+
+def test_residual_quantizer_fullscale_clamps(monkeypatch):
+    """Drive the signal through the fullscale clip region immediately so
+    the lo/hi-relative clamp handling is pinned bit-exactly within the
+    pre-onset window (96: heavy clipping accelerates the chaotic onset —
+    fixed15 at 16-bit flips at ~sample 122)."""
+    n = 96
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.clip(rng.normal(size=(2, n)) * 1.4, -1.6, 1.6),
+                    jnp.float64)
+    u = jnp.asarray(rng.random(size=(2, n, 2)), jnp.float64)
+    k9 = np.array([0.31, -0.22, 0.15, -0.09, 0.06, -0.04, 0.02,
+                   -0.012, 0.008])
+    for shaper in (FIXED4, FIXED15, ADAPTIVE9):
+        q_scan, q_res = _run_both(x, u, shaper, SR, 16, k9, monkeypatch)
+        np.testing.assert_array_equal(q_res, q_scan)
+
+
+def test_residual_quantizer_streaming_carry(monkeypatch):
+    """Block-at-a-time residual == one-shot residual (state conversion
+    f64 signal units <-> f32 LSB units round-trips exactly for states
+    the f32 loop itself produced)."""
+    n = 8_192
+    bs = 1_024
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, n)) * 0.3, jnp.float64)
+    u = jnp.asarray(rng.random(size=(2, n, 2)), jnp.float64)
+    monkeypatch.setenv("CONVOPEQ_DD_DITHER", "residual")
+    q_full = apply_dither(x, PSYCHOACOUSTIC, SR, 24, uniforms=u)
+    st = None
+    outs = []
+    for k in range(n // bs):
+        sl = slice(k * bs, (k + 1) * bs)
+        q, st = apply_dither(x[..., sl], PSYCHOACOUSTIC, SR, 24,
+                             uniforms=u[..., sl, :], state=st,
+                             return_state=True)
+        outs.append(np.asarray(q))
+    np.testing.assert_array_equal(np.concatenate(outs, -1),
+                                  np.asarray(q_full))

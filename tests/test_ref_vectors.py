@@ -203,6 +203,62 @@ def test_lattice_shaper_matches_reference_binary():
         np.testing.assert_array_equal(got, want)
 
 
+def test_psycho_shaper_matches_reference_binary():
+    """PsychoacousticDither bit-exact vs the reference binary running its
+    deterministic non-MKL fallback RNG (SplitMix64-seeded xorshift64*,
+    PsychoacousticDither.h:37-50,477-489; dump seeds the ctor with
+    0xC0FFEE).  Covers two kCoeffTable SR bands (48 kHz band 1, 384 kHz
+    band 4) and both bit presets at 48 kHz.  The pinned contract is plain
+    IEEE mul-then-add (the dump compiles -ffp-contract=off and the scan
+    kernels barrier every product — see models/dither._nc): with FMA
+    contraction on either side the chaotic trajectory flips within ~400
+    samples (measured)."""
+    v = _load("psycho.json")
+    from convopeq_tpu.models.dither import (psycho_dither,
+                                            psycho_fallback_uniforms)
+    h = v["headroom"]
+    for sr_khz, sr, bits in ((48, 48000.0, 16), (48, 48000.0, 24),
+                             (384, 384000.0, 24)):
+        for ch, name in ((0, "l"), (1, "r")):
+            x = np.asarray(v[f"input_{name}"])
+            want = np.asarray(v[f"psycho_{sr_khz}k_{bits}bit_{name}"])
+            u = psycho_fallback_uniforms(2 * len(x), ch,
+                                         0xC0FFEE).reshape(len(x), 2)
+            got = np.asarray(psycho_dither(x, u, sr, bits, headroom=h))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_lattice_long_horizon_rail_matches_reference_binary():
+    """The lattice ladder's long-horizon drift defect, pinned against the
+    reference binary: with a learner-produced coefficient bank the
+    REFERENCE's own shaper rails its +-2.0 state clamp and outputs
+    ~fullscale noise (~33k LSB at 16-bit) within the first 32k samples —
+    see the analysis in models/dither.py (the advanceState store target,
+    LatticeNoiseShaper.h:276-280).  The rebuild reproduces the railed
+    trajectory BIT-EXACTLY over 320k samples (same uniforms, same
+    arithmetic), including the tail — the strongest possible statement
+    that the rebuild's kernel is the reference's, defect included."""
+    v = _load("shapers.json")
+    from convopeq_tpu.models.dither import lattice_dither
+    h = v["headroom"]
+    win = np.asarray(v["lattice_long_window_rms_lsb"])
+    assert win.min() > 20000.0, "reference rail evidence missing"
+    k = np.array([-0.18845354367844672, 0.10410322511194921,
+                  0.23581883988286004, 0.12979551027980982,
+                  0.41149756090684103, -0.3071548637209,
+                  -0.46457321791269673, -0.07147346447828133,
+                  -0.1523930498659561])
+    nl = 320000
+    sr = v["sample_rate"]
+    i = np.arange(nl)
+    x = 0.37 * np.sin(2.0 * np.pi * 997.0 * i / sr) \
+        + 0.05 * np.sin(2.0 * np.pi * 31.0 * i / sr)
+    u = _shaper_uniforms(nl, channel=0)
+    got = np.asarray(lattice_dither(x, u, k, 16, headroom=h))
+    np.testing.assert_array_equal(got[-256:],
+                                  np.asarray(v["lattice_long_tail_l"]))
+
+
 def test_oversampler_matches_reference_binary():
     """Block-streamed up/down outputs of the reference's own
     CustomInputOversampler (tests/ref_harness/dump_oversampler.cpp) vs our
