@@ -304,18 +304,6 @@ def _round_half_even(v):
     return jnp.round(v)   # jnp.round is round-half-to-even, matching SSE4.1
 
 
-def _nc(v):
-    """No-contract: isolate a product so XLA cannot fuse it into an FMA.
-    The error-feedback trajectories are chaotic at the ULP level, so the
-    pinned cross-implementation contract (tests/test_ref_vectors.py vs
-    the reference binary compiled -ffp-contract=off; TPU scan vs the
-    Pallas quantizer, which performs separate mul/add under Mosaic) is
-    PLAIN IEEE mul-then-add.  Without this, XLA:CPU contracts the
-    feedback sums and the psycho trajectory flips from the golden within
-    ~400 samples (measured)."""
-    return jax.lax.optimization_barrier(v)
-
-
 def _scan_unroll() -> int:
     """Unroll factor for the per-sample scans: TPU scan-iteration overhead
     dominates the tiny body (measured 1.08 us/sample at unroll=1 vs 252 ns
@@ -439,9 +427,9 @@ def psycho_dither_residual(x, uniforms, sample_rate: float, bit_depth: int,
 
     def step(z, inp):
         fi, di = inp
-        shaped = _nc(c[0] * z[..., 0])
+        shaped = (c[0] * z[..., 0])
         for i in range(1, NS_ORDER_PSYCHO):
-            shaped = shaped + _nc(c[i] * z[..., i])
+            shaped = shaped + (c[i] * z[..., i])
         w = fi + di + shaped
         r = _round_half_even(w)
         err = w - r
@@ -475,9 +463,9 @@ def fixed_shaper_dither_residual(x, uniforms, coeffs, bit_depth: int,
 
     def step(e, inp):
         fi, di, loi, hii = inp
-        fb = _nc(c[0] * e[..., 0])
+        fb = (c[0] * e[..., 0])
         for i in range(1, order):
-            fb = fb + _nc(c[i] * e[..., i])
+            fb = fb + (c[i] * e[..., i])
         t = fi - fb                       # y - M in LSB units
         y1 = jnp.clip(t, loi, hii)
         r = _round_half_even(y1 + di)
@@ -495,7 +483,8 @@ def fixed_shaper_dither_residual(x, uniforms, coeffs, bit_depth: int,
 
 def lattice_dither_residual(x, uniforms, reflection_coeffs, bit_depth: int,
                             headroom: float = K_OUTPUT_HEADROOM,
-                            state=None, return_state: bool = False):
+                            state=None, return_state: bool = False,
+                            ladder: str = "reference"):
     """LSB-residual form of `lattice_dither`: tmp = x*h + fb; quantize
     with fullscale + integer clamps; err = clip(q - tmp, +-2); ladder
     advance with the +-2.0-signal-unit state clamp expressed in LSB
@@ -516,9 +505,9 @@ def lattice_dither_residual(x, uniforms, reflection_coeffs, bit_depth: int,
 
     def step(s, inp):
         fi, di, loi, hii = inp
-        fb = _nc(k[0] * s[..., 0])
+        fb = (k[0] * s[..., 0])
         for i in range(1, order):
-            fb = fb + _nc(k[i] * s[..., i])
+            fb = fb + (k[i] * s[..., i])
         t = fi + fb                       # tmp - M in LSB units
         y1 = jnp.clip(t, loi, hii)
         r = jnp.clip(_round_half_even(y1 + di), loi, hii)
@@ -526,12 +515,21 @@ def lattice_dither_residual(x, uniforms, reflection_coeffs, bit_depth: int,
 
         fwd = err
         new_s = []
-        for i in range(order):
-            nf = fwd + _nc(k[i] * s[..., i])
-            nb = jnp.clip(_nc(k[i] * fwd) + s[..., i], -state_lim,
-                          state_lim)
-            fwd = nf
-            new_s.append(nb)
+        if ladder == "fir":
+            gprev = err
+            for i in range(order):
+                nf = fwd + (k[i] * s[..., i])
+                ng = (k[i] * fwd) + s[..., i]
+                new_s.append(jnp.clip(gprev, -state_lim, state_lim))
+                gprev = ng
+                fwd = nf
+        else:
+            for i in range(order):
+                nf = fwd + (k[i] * s[..., i])
+                nb = jnp.clip((k[i] * fwd) + s[..., i], -state_lim,
+                              state_lim)
+                fwd = nf
+                new_s.append(nb)
         s = jnp.stack(new_s, axis=-1)
         return s, r
 
@@ -566,10 +564,10 @@ def psycho_dither(x, uniforms, sample_rate: float, bit_depth: int,
         xi, di = inp
         # explicit left-to-right sum: error-feedback loops are chaotic at
         # the ULP level, so the reduction order is part of the contract
-        shaped = _nc(c[0] * z[..., 0])
+        shaped = (c[0] * z[..., 0])
         for i in range(1, NS_ORDER_PSYCHO):
-            shaped = shaped + _nc(c[i] * z[..., i])
-        tmp = _nc(xi * headroom) + di + shaped
+            shaped = shaped + (c[i] * z[..., i])
+        tmp = (xi * headroom) + di + shaped
         q = _round_half_even(tmp / scale) * scale
         err = tmp - q
         z = jnp.concatenate([err[..., None], z[..., :-1]], axis=-1)
@@ -589,7 +587,7 @@ def _ef_quantize(y, u1, u2, scale, inv_scale, extra_clamp: bool):
     extra_clamp adds the Lattice variant's integer-range clamp
     (LatticeNoiseShaper.h:203-227)."""
     y = jnp.clip(y, -1.0, 1.0 - 1.0 / inv_scale)
-    y = y + _nc((u1 + u2 - 1.0) * scale)
+    y = y + ((u1 + u2 - 1.0) * scale)
     q = _round_half_even(y * inv_scale)
     if extra_clamp:
         q = jnp.clip(q, -inv_scale, inv_scale - 1.0)
@@ -622,10 +620,10 @@ def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
 
     def step(e, inp):
         xi, u1, u2 = inp
-        fb = _nc(c[0] * e[..., 0])
+        fb = (c[0] * e[..., 0])
         for i in range(1, order):
-            fb = fb + _nc(c[i] * e[..., i])
-        y = _nc(xi * headroom) - fb
+            fb = fb + (c[i] * e[..., i])
+        y = (xi * headroom) - fb
         q = _ef_quantize(y, u1, u2, scale, inv_scale,
                          extra_clamp=range_clamp)
         err = jnp.clip(q - y, -ERROR_CLAMP_FACTOR * scale,
@@ -644,11 +642,32 @@ def fixed_shaper_dither(x, uniforms, coeffs, bit_depth: int,
 
 def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
                    headroom: float = K_OUTPUT_HEADROOM,
-                   state=None, return_state: bool = False):
+                   state=None, return_state: bool = False,
+                   ladder: str = "reference"):
     """LatticeNoiseShaper (LatticeNoiseShaper.h:229-295):
     feedback = sum c_i s_i (ladder tap-out); tmp = x*h + feedback;
     q = quantize(tmp) with fullscale clamp; err clamped +-2*scale drives the
     lattice state advance with per-stage clamp +-2.0.
+
+    ladder: "reference" reproduces the reference's advanceState
+    bit-for-bit — INCLUDING ITS DEFECT: the "[P7]" store
+    (LatticeNoiseShaper.h:276-280, state[i] <- own-stage nextBackward)
+    makes the state map unipotent (I + strictly-lower coupling, all
+    eigenvalues 1), so states drift polynomially into the +-2.0 clamp
+    and the shaper rails — the REFERENCE BINARY outputs ~fullscale
+    noise (~33k LSB RMS at 16-bit) within 32k samples for ANY
+    multi-coefficient bank (pinned: tests/test_ref_vectors.py::
+    test_lattice_long_horizon_rail_matches_reference_binary).
+    "fir" stores the PREVIOUS stage's backward output (s[i] <- g_i(n),
+    the textbook analysis-ladder recursion g_{i+1}(n) = k_{i+1} f_i(n)
+    + g_i(n-1) — the semantics the reference's pre-P7 code had): every
+    state is then a FINITE impulse response of the last <= 9 clamped
+    errors, bounded by prod(1+|k_j|) * 2 LSB, with the same
+    computeFeedback tap-out.  Finite memory also makes the fir ladder
+    testable: a flipped rounding perturbs at most 9 samples of state,
+    so trajectories cannot chaotically diverge.  Production paths
+    (engine, bench, factory banks) use "fir"; "reference" remains the
+    parity mode.
 
     state / return_state: streaming ladder-state carry (see
     psycho_dither)."""
@@ -668,26 +687,32 @@ def lattice_dither(x, uniforms, reflection_coeffs, bit_depth: int,
 
     def step(s, inp):
         xi, u1, u2 = inp
-        fb = _nc(k[0] * s[..., 0])
+        fb = (k[0] * s[..., 0])
         for i in range(1, order):
-            fb = fb + _nc(k[i] * s[..., i])
-        tmp = _nc(xi * headroom) + fb
+            fb = fb + (k[i] * s[..., i])
+        tmp = (xi * headroom) + fb
         q = _ef_quantize(tmp, u1, u2, scale, inv_scale, extra_clamp=True)
         err = jnp.clip(q - tmp, -ERROR_CLAMP_FACTOR * scale,
                        ERROR_CLAMP_FACTOR * scale)
 
-        def stage(fwd, sk):
-            si, ki = sk
-            nf = fwd + _nc(ki * si)
-            nb = jnp.clip(_nc(ki * fwd) + si, -LATTICE_STATE_LIMIT,
-                          LATTICE_STATE_LIMIT)
-            return nf, nb
-
         fwd = err
         new_s = []
-        for i in range(order):
-            fwd, nb = stage(fwd, (s[..., i], k[i]))
-            new_s.append(nb)
+        if ladder == "fir":
+            gprev = err
+            for i in range(order):
+                nf = fwd + (k[i] * s[..., i])
+                ng = (k[i] * fwd) + s[..., i]
+                new_s.append(jnp.clip(gprev, -LATTICE_STATE_LIMIT,
+                                      LATTICE_STATE_LIMIT))
+                gprev = ng
+                fwd = nf
+        else:
+            for i in range(order):
+                nf = fwd + (k[i] * s[..., i])
+                nb = jnp.clip((k[i] * fwd) + s[..., i],
+                              -LATTICE_STATE_LIMIT, LATTICE_STATE_LIMIT)
+                new_s.append(nb)
+                fwd = nf
         s = jnp.stack(new_s, axis=-1)
         return s, q
 
@@ -712,7 +737,8 @@ def dither_state_init(x_batch_shape, shaper_type: int, dtype=None):
 def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
                  uniforms=None, key=None, adaptive_coeffs=None,
                  headroom: float = K_OUTPUT_HEADROOM,
-                 state=None, return_state: bool = False):
+                 state=None, return_state: bool = False,
+                 lattice_ladder: str = "fir"):
     """Dither dispatch (DSPCoreDouble.cpp:644-653).  x: (..., N).
 
     uniforms: (..., N, 2) in [0,1); generated from `key` if omitted.
@@ -749,7 +775,7 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
                 else np.asarray(adaptive_coeffs, np.float64)
             coeffs = np.clip(np.nan_to_num(k9),
                              -LATTICE_COEFF_LIMIT, LATTICE_COEFF_LIMIT)
-            mode = "lattice"
+            mode = "lattice_fir" if lattice_ladder == "fir" else "lattice"
         else:
             coeffs, mode = fixed15_coeffs(sample_rate), "fixed15"
         scale, _ = quant_scales(bit_depth)
@@ -781,7 +807,8 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
                 else np.zeros(9)
             return lattice_dither_residual(
                 x, uniforms, k, bit_depth, headroom,
-                state=state, return_state=return_state)
+                state=state, return_state=return_state,
+                ladder=lattice_ladder)
     if shaper_type == PSYCHOACOUSTIC:
         return psycho_dither(x, uniforms, sample_rate, bit_depth, headroom,
                              state=state, return_state=return_state)
@@ -796,5 +823,6 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
     if shaper_type == ADAPTIVE9:
         k = adaptive_coeffs if adaptive_coeffs is not None else np.zeros(9)
         return lattice_dither(x, uniforms, k, bit_depth, headroom,
-                              state=state, return_state=return_state)
+                              state=state, return_state=return_state,
+                              ladder=lattice_ladder)
     raise ValueError(f"unknown shaper type {shaper_type}")

@@ -463,32 +463,72 @@ class SpectralEvaluator:
 _POP_SIM_CACHE: dict = {}
 
 
-def _pop_sim_fn(bit_depth: int):
-    fn = _POP_SIM_CACHE.get(bit_depth)
+def ntf_l2_gain(reflection_coeffs) -> float:
+    """L2 norm of the fir ladder's noise transfer function.
+
+    The fir ladder realizes NTF(z) = A_9(z), the prediction-error
+    polynomial of the reflection coefficients (Levinson recursion)  —
+    so the shaper's white-noise amplification is exactly
+    ||A||_2 = sqrt(sum a_i^2), computable in closed form.  Banks with
+    large ||A||_2 resonate: the closed loop carries bursty limit
+    cycles under broadband input that a tonal training block never
+    excites (measured: a bank scoring 0.68 LSB on the tonal objective
+    bursts to 12 LSB rms under noise).  The learner multiplies its
+    cost by (1 + w * max(0, ||A||_2 - NTF_L2_BUDGET)) so candidates
+    buy spectral shaping only up to a bounded broadband
+
+    amplification."""
+    k = np.clip(np.nan_to_num(np.asarray(reflection_coeffs, np.float64)),
+                -0.85, 0.85)
+    a = np.array([1.0])
+    for km in k:
+        a = np.concatenate([a, [0.0]]) + km * np.concatenate(
+            [[0.0], a[::-1]])
+    return float(np.sqrt(np.sum(a * a)))
+
+
+NTF_L2_BUDGET = 3.0
+NTF_L2_PENALTY_WEIGHT = 2.0
+
+
+def _ntf_penalty(k) -> float:
+    return 1.0 + NTF_L2_PENALTY_WEIGHT * max(
+        0.0, ntf_l2_gain(k) - NTF_L2_BUDGET)
+
+
+def _pop_sim_fn(bit_depth: int, ladder: str = "fir"):
+    key = (bit_depth, ladder)
+    fn = _POP_SIM_CACHE.get(key)
     if fn is None:
         import jax
 
         def run(K, x, u):
-            return jax.vmap(lambda k: lattice_dither(x, u, k, bit_depth))(K)
+            return jax.vmap(lambda k: lattice_dither(
+                x, u, k, bit_depth, ladder=ladder))(K)
 
         fn = jax.jit(run)
-        _POP_SIM_CACHE[bit_depth] = fn
+        _POP_SIM_CACHE[key] = fn
     return fn
 
 
 def simulate_shaper_error_population(audio_levels: np.ndarray,
                                      coeff_matrix: np.ndarray,
                                      bit_depth: int,
-                                     uniforms: np.ndarray) -> np.ndarray:
+                                     uniforms: np.ndarray,
+                                     ladder: str = "fir") -> np.ndarray:
     """Quantization error of the lattice shaper for a whole CMA-ES
     population at once: ONE vmapped JAX call over candidates evaluates
     every (candidate, level) pair — the TPU-native replacement for the
     reference's evaluationWorkers thread pool (NoiseShaperLearner.h).
 
     audio_levels: (L, 2, N) leveled blocks; coeff_matrix: (P, order);
-    uniforms: (L, 2, N, 2).  Returns (P, L, 2, N) errors."""
+    uniforms: (L, 2, N, 2).  Returns (P, L, 2, N) errors.
+
+    The simulated ladder is the production "fir" variant (the learner
+    must train the shaper it ships; the reference ladder rails for any
+    multi-coefficient bank — see models/dither.lattice_dither)."""
     import jax.numpy as jnp
-    run = _pop_sim_fn(int(bit_depth))
+    run = _pop_sim_fn(int(bit_depth), ladder)
     y = np.asarray(run(jnp.asarray(np.asarray(coeff_matrix, np.float64)),
                        jnp.asarray(audio_levels), jnp.asarray(uniforms)))
     return y - np.asarray(audio_levels)[None] * K_OUTPUT_HEADROOM
@@ -497,7 +537,8 @@ def simulate_shaper_error_population(audio_levels: np.ndarray,
 def simulate_shaper_error(audio_lr: np.ndarray, reflection_coeffs,
                           sample_rate: float, bit_depth: int,
                           rng: np.random.Generator | None = None,
-                          uniforms: np.ndarray | None = None):
+                          uniforms: np.ndarray | None = None,
+                          ladder: str = "fir"):
     """Quantization error of the lattice shaper on a stereo block.
 
     Pass `uniforms` for a deterministic cost (the learner fixes the dither
@@ -508,7 +549,8 @@ def simulate_shaper_error(audio_lr: np.ndarray, reflection_coeffs,
         uniforms = (rng or np.random.default_rng(0)).uniform(
             size=x.shape + (2,))
     y = np.asarray(lattice_dither(jnp.asarray(x), jnp.asarray(uniforms),
-                                  reflection_coeffs, bit_depth))
+                                  reflection_coeffs, bit_depth,
+                                  ladder=ladder))
     return y - x * K_OUTPUT_HEADROOM
 
 
@@ -526,7 +568,14 @@ class NoiseShaperLearner:
     CmaEsOptimizer.h:14-16: dim 9, population 18, elite 6)."""
 
     def __init__(self, sample_rate: float, bit_depth: int = 16, mode: int = 0,
-                 seed: int = 0, workers: int = 4):
+                 seed: int = 0, workers: int = 4, eval_blocks: int = 1):
+        # eval_blocks: simulate eval_blocks * 4096 samples per candidate
+        # and score every window AFTER the first, so the objective sees
+        # the shaper's warm (stationary) state rather than the quieter
+        # zero-state startup transient.  The offline factory-bank
+        # trainer uses eval_blocks=16; 1 keeps the reference's
+        # per-captured-block live cost.
+        self.eval_blocks = max(1, int(eval_blocks))
         self.sample_rate = sample_rate
         self.bit_depth = bit_depth
         self.mode = mode
@@ -568,20 +617,37 @@ class NoiseShaperLearner:
         k = CmaEs.to_parcor(unconstrained)
         total = 0.0
         rms = np.sqrt(np.mean(audio_lr ** 2)) + 1e-12
+        nb = self.eval_blocks
+        nsim = nb * K_FFT_LENGTH
         if self._uniforms is None or \
-                self._uniforms.shape[:2] != (2, K_FFT_LENGTH):
-            self._uniforms = self.rng.uniform(size=(2, K_FFT_LENGTH, 2))
+                self._uniforms.shape[:2] != (2, nsim):
+            self._uniforms = self.rng.uniform(size=(2, nsim, 2))
         for li, lvl in enumerate(TARGET_LEVELS):
             block = audio_lr * (lvl / rms)
-            err = simulate_shaper_error(block[:, :K_FFT_LENGTH], k,
+            seg = np.tile(block[:, :K_FFT_LENGTH], (1, nb))
+            err = simulate_shaper_error(seg, k,
                                         self.sample_rate, self.bit_depth,
                                         uniforms=self._uniforms)
             # the signal segment masks its own quantization error
             # (precomputeMaskingThresholds, NoiseShaperLearner.cpp:1260-1261)
             thr = self.evaluator.signal_masking_thresholds(block[0], block[1])
-            total += self.level_weights[li] * self.evaluator.evaluate(
-                err[0], err[1], thr).composite_score
-        return total / float(np.sum(self.level_weights))
+            total += self.level_weights[li] * self._windowed_score(err, thr)
+        return total / float(np.sum(self.level_weights)) * _ntf_penalty(k)
+
+    def _windowed_score(self, err, thr):
+        """Average evaluator cost over every 4096 window after the first
+        (startup dropped); the plain single-window cost when
+        eval_blocks == 1."""
+        nb = self.eval_blocks
+        if nb == 1:
+            return self.evaluator.evaluate(err[0], err[1], thr)\
+                .composite_score
+        ew = err.reshape(2, nb, K_FFT_LENGTH)
+        tot = 0.0
+        for w in range(1, nb):
+            tot += self.evaluator.evaluate(ew[0, w], ew[1, w], thr)\
+                .composite_score
+        return tot / float(nb - 1)
 
     def _population_costs(self, cands, audio_lr):
         """Score a whole population: one vmapped JAX simulation for every
@@ -590,14 +656,18 @@ class NoiseShaperLearner:
         from concurrent.futures import ThreadPoolExecutor
         K = np.stack([CmaEs.to_parcor(c) for c in cands])
         rms = np.sqrt(np.mean(audio_lr ** 2)) + 1e-12
+        nb = self.eval_blocks
+        nsim = nb * K_FFT_LENGTH
         blocks = np.stack([audio_lr[:, :K_FFT_LENGTH] * (lvl / rms)
                            for lvl in TARGET_LEVELS])        # (L, 2, N)
+        sim_blocks = np.tile(blocks, (1, 1, nb))             # (L, 2, nb*N)
         if self._uniforms is None or \
-                self._uniforms.shape[:2] != (2, K_FFT_LENGTH):
-            self._uniforms = self.rng.uniform(size=(2, K_FFT_LENGTH, 2))
+                self._uniforms.shape[:2] != (2, nsim):
+            self._uniforms = self.rng.uniform(size=(2, nsim, 2))
         u = np.broadcast_to(self._uniforms[None],
-                            blocks.shape + (2,))
-        errs = simulate_shaper_error_population(blocks, K, self.bit_depth, u)
+                            sim_blocks.shape + (2,))
+        errs = simulate_shaper_error_population(sim_blocks, K,
+                                                self.bit_depth, u)
         thresholds = [self.evaluator.signal_masking_thresholds(b[0], b[1])
                       for b in blocks]
 
@@ -605,10 +675,10 @@ class NoiseShaperLearner:
             # phase-weighted level mix (currentLevelWeights)
             tot = 0.0
             for li in range(len(TARGET_LEVELS)):
-                tot += self.level_weights[li] * self.evaluator.evaluate(
-                    errs[p, li, 0], errs[p, li, 1],
-                    thresholds[li]).composite_score
-            return tot / float(np.sum(self.level_weights))
+                tot += self.level_weights[li] * self._windowed_score(
+                    errs[p, li], thresholds[li])
+            return tot / float(np.sum(self.level_weights)) \
+                * _ntf_penalty(K[p])
 
         with ThreadPoolExecutor(max_workers=self.workers) as ex:
             return np.array(list(ex.map(score, range(len(cands)))))

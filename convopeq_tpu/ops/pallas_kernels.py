@@ -132,20 +132,33 @@ def error_feedback_quantize(x, d2, coeffs, scale: float,
                 tmp = xi * headroom + di + shaped
                 q = jnp.round(tmp * inv_scale) * scale
                 err = tmp - q
-            elif mode == "lattice":
+            elif mode in ("lattice", "lattice_fir"):
                 tmp = xi * headroom + shaped
                 yc = jnp.clip(tmp, -1.0, 1.0 - scale)
                 q = jnp.round((yc + di) * inv_scale) * scale
                 q = jnp.clip(q, -1.0, 1.0 - scale)
                 err = jnp.clip(q - tmp, -err_lim, err_lim)
-                # lattice-ladder advance (per-stage clamp +-2.0)
                 q_ref[t, :] = q
                 fwd = err
                 new = []
-                for i in range(order):
-                    nf = fwd + c[i] * z[i]
-                    new.append(jnp.clip(c[i] * fwd + z[i], -2.0, 2.0))
-                    fwd = nf
+                if mode == "lattice_fir":
+                    # textbook analysis-ladder store (finite-memory,
+                    # bounded states — see models/dither.lattice_dither
+                    # ladder="fir")
+                    gprev = err
+                    for i in range(order):
+                        nf = fwd + c[i] * z[i]
+                        ng = c[i] * fwd + z[i]
+                        new.append(jnp.clip(gprev, -2.0, 2.0))
+                        gprev = ng
+                        fwd = nf
+                else:
+                    # reference advanceState (per-stage clamp +-2.0),
+                    # defect included (LatticeNoiseShaper.h:276-280)
+                    for i in range(order):
+                        nf = fwd + c[i] * z[i]
+                        new.append(jnp.clip(c[i] * fwd + z[i], -2.0, 2.0))
+                        fwd = nf
                 return tuple(new)
             else:
                 y = xi * headroom - shaped

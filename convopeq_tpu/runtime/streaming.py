@@ -164,12 +164,23 @@ def _layer_step(state: StreamLayerState, block, Hri, lp, block_size, gain):
     p = lp.part_size
     ratio = p // block_size
     Hr, Hi = Hri
+    # the dd serving tier: XLA:TPU has no complex128, so f64 streaming
+    # transforms route through the split-plane GEMM DFTs (same seam the
+    # offline dd path uses, ops/partitioned_conv.py)
+    dd = (block.dtype == jnp.float64
+          and jax.default_backend() not in ("cpu",))
 
     def fft_split(osa):
+        if dd:
+            from ..ops.gemm_fft import rfft_gemm
+            return rfft_gemm(osa, p)
         X = jnp.fft.rfft(osa, axis=-1)
         return jnp.real(X), jnp.imag(X)
 
     def irfft_half(Yr, Yi):
+        if dd:
+            from ..ops.gemm_fft import irfft_valid_gemm
+            return irfft_valid_gemm(Yr, Yi, p)
         Y = jax.lax.complex(Yr, Yi)
         return jnp.fft.irfft(Y, n=2 * p, axis=-1)[..., p:]
 

@@ -5,14 +5,6 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# No excess precision on the CPU golden/test backend: XLA:CPU's LLVM
-# codegen otherwise contracts mul+add into FMA (optimization_barrier
-# cannot stop it — it is erased before LLVM), and the chaotic
-# error-feedback dither loops then flip from the reference-binary pins
-# (compiled -ffp-contract=off) within ~400 samples.  The pinned contract
-# everywhere is plain IEEE mul-then-add.
-if "xla_allow_excess_precision" not in flags:
-    flags = (flags + " --xla_allow_excess_precision=false").strip()
 os.environ["XLA_FLAGS"] = flags
 # Hard override: the environment may point JAX_PLATFORMS at a tunneled TPU
 # (axon); unit tests must run on the local CPU backend in f64.

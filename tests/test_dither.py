@@ -408,3 +408,93 @@ def test_residual_quantizer_streaming_carry(monkeypatch):
         outs.append(np.asarray(q))
     np.testing.assert_array_equal(np.concatenate(outs, -1),
                                   np.asarray(q_full))
+
+
+# ---------------------------------------------------------------------------
+# FIR (corrected) lattice ladder — the production ADAPTIVE9 variant.
+# The reference's advanceState stores the own-stage backward output
+# ("[P7]", LatticeNoiseShaper.h:276-280), which makes the ladder an
+# unbounded unipotent integrator: the REFERENCE BINARY rails its +-2.0
+# state clamp and outputs ~fullscale noise within 32k samples for any
+# multi-coefficient bank (pinned in test_ref_vectors).  ladder="fir"
+# stores the previous stage's backward (the textbook analysis-ladder
+# recursion), making every state an FIR of the last <= 9 clamped errors.
+# ---------------------------------------------------------------------------
+
+def test_fir_ladder_bounded_long_run():
+    """300k samples: fir-ladder noise stays at ~LSB scale start to end,
+    states bounded by prod(1+|k|) * 2 LSB; the reference ladder rails
+    with the SAME coefficients (contrast pinned in test_ref_vectors)."""
+    from convopeq_tpu.models.dither import lattice_dither
+    n = 300_000
+    rng = np.random.default_rng(2)
+    # clip the gaussian tails: |x*h| > 1 engages the quantizer's
+    # fullscale clip, whose (legitimate) clipping error would swamp the
+    # shaper-noise bound being asserted
+    x = jnp.asarray(np.clip(rng.normal(size=(1, n)) * 0.25, -0.9, 0.9),
+                    jnp.float64)
+    u = jnp.asarray(rng.random(size=(1, n, 2)), jnp.float64)
+    k18 = np.array([-0.18845354367844672, 0.10410322511194921,
+                    0.23581883988286004, 0.12979551027980982,
+                    0.41149756090684103, -0.3071548637209,
+                    -0.46457321791269673, -0.07147346447828133,
+                    -0.1523930498659561])
+    scale, _ = quant_scales(16)
+    q, sf = lattice_dither(x, u, k18, 16, ladder="fir",
+                           return_state=True)
+    e = (np.asarray(q)[0] - np.asarray(x)[0] * K_OUTPUT_HEADROOM) / scale
+    # analytic FIR bounds: states <= prod(1+|k|)*2 (clamped-err FIR),
+    # output noise <= sum|k|*state_bound + round/dither slack — vs the
+    # railed reference ladder at ~33,000 LSB with the same bank;
+    # factory banks are additionally screened stationary-quiet by
+    # tools/train_banks.py.
+    s_bound = np.prod(1.0 + np.abs(k18)) * 2.0
+    e_bound = np.sum(np.abs(k18)) * s_bound + 3.0
+    assert np.max(np.abs(np.asarray(sf))) <= s_bound * scale
+    assert np.max(np.abs(e)) <= e_bound, (np.max(np.abs(e)), e_bound)
+    assert np.sqrt(np.mean(e ** 2)) <= e_bound
+
+
+def test_fir_ladder_pallas_matches_scan():
+    """Pallas mode="lattice_fir" (interpret) bit-equals the fir scan,
+    f64 full-sequence + stateful resume."""
+    from convopeq_tpu.ops import pallas_kernels as pk
+    from convopeq_tpu.models.dither import lattice_dither
+    rng = np.random.default_rng(9)
+    r, n = 3, 700
+    x64 = rng.normal(size=(r, n)) * 0.6
+    u64 = rng.random(size=(r, n, 2))
+    k9 = np.clip(rng.normal(size=9) * 0.15, -0.85, 0.85)
+    for bits in (16, 24):
+        scale, _ = quant_scales(bits)
+        ql = pk.error_feedback_quantize(
+            jnp.asarray(x64), jnp.asarray(u64), k9, scale,
+            K_OUTPUT_HEADROOM, mode="lattice_fir", chunk=256,
+            interpret=True)
+        ref = lattice_dither(jnp.asarray(x64), jnp.asarray(u64), k9,
+                             bits, ladder="fir")
+        np.testing.assert_array_equal(np.asarray(ql), np.asarray(ref))
+
+
+def test_fir_ladder_residual_long_run_exact():
+    """Finite memory makes the fir ladder TESTABLE across arithmetic:
+    a flipped rounding perturbs <= 9 samples of state, so the LSB-
+    residual form tracks the f64 scan over 150k samples with at most
+    isolated one-LSB flips (the reference ladder diverges to its railed
+    noise floor on the same test)."""
+    import os
+    from convopeq_tpu.models.dither import lattice_dither_residual, lattice_dither
+    n = 150_000
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(2, n)) * 0.3, jnp.float64)
+    u = jnp.asarray(rng.random(size=(2, n, 2)), jnp.float64)
+    k9 = np.array([0.31, -0.22, 0.15, -0.09, 0.06, -0.04, 0.02,
+                   -0.012, 0.008])
+    scale, _ = quant_scales(24)
+    q_scan = np.asarray(lattice_dither(x, u, k9, 24, ladder="fir"))
+    q_res = np.asarray(lattice_dither_residual(x, u, k9, 24,
+                                               ladder="fir"))
+    d = (q_res - q_scan) / scale
+    nz = int(np.count_nonzero(d))
+    assert nz <= 20, f"{nz} flips over 300k samples (expected isolated)"
+    assert np.max(np.abs(d)) <= 1.0 + 1e-9

@@ -370,5 +370,225 @@ def _dd_folded_rms(jax, jnp, dev, cfg_lin, conv_f, x_small, rtf):
         return {"rms_rel_err_dd(f64)_folded_error": repr(e)[:400]}
 
 
+_CPU_SEMI_SNIPPET = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+import sys, os
+sys.path.insert(0, %(repo)r)
+os.environ["CONVOPEQ_DD_DITHER"] = "scan"   # reference-semantics f64 scans
+from tools.tpu_parity import build_semi_fixture
+ir, eqp, cfg, x, u, k9, bits = build_semi_fixture(%(name)r)
+from convopeq_tpu.models.chain import (prepare_semi_folded_convolver,
+                                       process_chain_semi_fused)
+from convopeq_tpu.models.dither import apply_dither, ADAPTIVE9
+from convopeq_tpu.models.nuc import FilterSpec
+conv = prepare_semi_folded_convolver(ir, 512,
+                                     FilterSpec(sample_rate=cfg.sample_rate),
+                                     cfg, eqp, dtype=jnp.float64)
+y = process_chain_semi_fused(jnp.asarray(x, jnp.float64), cfg, conv)
+if u is not None:
+    y = apply_dither(y, ADAPTIVE9, cfg.sample_rate, bits,
+                     uniforms=jnp.asarray(u), adaptive_coeffs=k9,
+                     lattice_ladder="fir")
+np.save(%(out)r, np.asarray(y))
+"""
+
+
+def _factory_bank(sr: float, bits: int, mode: int):
+    import json as _json
+    from convopeq_tpu.models.learner import AdaptiveCoefficientBanks
+    with open(os.path.join(REPO, "convopeq_tpu", "data",
+                           "learned_banks.json")) as f:
+        banks = AdaptiveCoefficientBanks.from_dict(_json.load(f)["banks"])
+    k = banks.get(sr, bits, mode)
+    if k is None:         # nearest shipped bank (4 factory banks)
+        for cand in ((48000.0, 16, 0), (96000.0, 24, 2), (384000.0, 24, 5)):
+            k = banks.get(*cand)
+            if k is not None:
+                break
+    return np.asarray(k)
+
+
+def build_semi_fixture(name: str, seconds_rms: float | None = None):
+    """Fixtures for the dd SEMI-FOLDED parity lines (VERDICT r4 #1):
+    chains with the NONLINEAR suffix live (soft clip; optionally the
+    adaptive lattice dither) run in dd on-chip vs an f64 CPU golden of
+    the same semi-folded chain.
+
+    name:
+      "config5"      1M-tap + 20-band EQ + soft clip @48k (no dither).
+      "config5d32"   config5 + adaptive lattice dither, 32-bit output.
+          The full nonlinear chain INCLUDING the quantizer under the
+          1e-9 contract: dither trajectories flip where the upstream
+          dd-vs-f64 deviation (~6e-12 abs) crosses a rounding boundary,
+          so the expected divergence is LSB*sqrt(dev/LSB) ~ 2e-10 rel
+          at 32-bit (~3e-9 at 24-bit, ~4e-8 at 16-bit: deeper
+          quantization makes flips rarer AND smaller — measured in the
+          companion "config5d24" line).
+      "config5d24"   same at 24-bit (the scaling-law companion line).
+      "config6"      2s IR + 20-band EQ + soft clip + adaptive lattice
+          dither @384 kHz / 24-bit (the literal BASELINE config[4]
+          shape) — published at its honest dd RTF.
+    Returns (ir, eqp, cfg, x, uniforms|None, k9|None, bits)."""
+    from convopeq_tpu.models.chain import ChainConfig
+    from convopeq_tpu.models.eq import EQParams
+    rng = np.random.default_rng(0)
+    eqp = EQParams()
+    eqp.gains_db[:] = np.linspace(-4.0, 4.0, 20)
+    if name.startswith("config5"):
+        sr = 48000.0
+        ir_len = 1_000_000
+        seconds = 60.0 if seconds_rms is None else seconds_rms
+        decay = np.exp(-np.arange(ir_len) / (ir_len / 10.0))
+        ir = np.stack([rng.normal(size=ir_len) * decay,
+                       rng.normal(size=ir_len) * decay]) * 0.02
+        bits = {"config5": 0, "config5d32": 32, "config5d24": 24}[name]
+    else:
+        sr = 384000.0
+        ir_len = int(sr * 2.0)
+        seconds = 1.25 if seconds_rms is None else seconds_rms
+        ir = np.stack([rng.normal(size=ir_len),
+                       rng.normal(size=ir_len)]) \
+            * np.exp(-np.arange(ir_len) / (ir_len / 6.0)) * 0.02
+        bits = 24
+    cfg = ChainConfig(sample_rate=sr, soft_clip_enabled=True,
+                      saturation_amount=0.3, apply_output_headroom=False)
+    n = int(sr * seconds)
+    x = np.random.default_rng(7).normal(size=(2, n)) * 0.25
+    if bits == 0:
+        return ir, eqp, cfg, x, None, None, 0
+    u = np.random.default_rng(11).random(size=(2, n, 2))
+    k9 = _factory_bank(sr, 24 if bits >= 24 else bits,
+                       5 if sr >= 384000.0 else 0)
+    return ir, eqp, cfg, x, u, k9, bits
+
+
+def cpu_semi_reference(name: str, path: str):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = _CPU_SEMI_SNIPPET % {"repo": REPO, "name": name, "out": path}
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=REPO)
+    return np.load(path)
+
+
+def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
+              names=("config5", "config5d32", "config5d24", "config6")):
+    """dd SEMI-FOLDED artifact lines, merged into PARITY_TPU.json.
+
+    RTF methodology mirrors the dd_folded lines (single-call walls, min
+    of 3, scalar-readback fence); RMS compares the on-chip dd output
+    against the f64 CPU golden of the SAME semi-folded chain on the RMS
+    fixture (60 s @48k / 1.25 s @384k)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from convopeq_tpu.models.chain import (prepare_semi_folded_convolver,
+                                           process_chain_semi_fused)
+    from convopeq_tpu.models.dither import apply_dither, ADAPTIVE9
+    from convopeq_tpu.models.nuc import FilterSpec
+
+    dev = jax.devices()[0]
+    out = os.path.join(REPO, "PARITY_TPU.json")
+    result = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            result = json.load(f)
+
+    def flush():
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+
+    rng = np.random.default_rng(1)
+    for name in names:
+        key = f"rtf_dd_semi_folded_{name}"
+        try:
+            ir, eqp, cfg, x_rms, u_rms, k9, bits = build_semi_fixture(name)
+            sr = cfg.sample_rate
+            spec = FilterSpec(sample_rate=sr)
+            conv = prepare_semi_folded_convolver(
+                ir, 512, spec, cfg, eqp, dtype=jnp.float64)
+
+            def chain(v, c, uu=None):
+                y = process_chain_semi_fused(v, cfg, c)
+                if bits:
+                    if uu is None:
+                        uu = jax.random.uniform(jax.random.PRNGKey(0),
+                                                y.shape + (2,),
+                                                dtype=y.dtype)
+                    y = apply_dither(y, ADAPTIVE9, sr, bits, uniforms=uu,
+                                     adaptive_coeffs=k9,
+                                     lattice_ladder="fir")
+                return y
+
+            # --- RMS vs the CPU f64 golden of the same chain ------------
+            golden_path = f"/tmp/convopeq_cpu_semi_{name}.npy"
+            y_cpu = cpu_semi_reference(name, golden_path)
+            print(f"{name}: cpu golden done", file=sys.stderr)
+            args = [jax.device_put(jnp.asarray(x_rms, jnp.float64), dev),
+                    conv]
+            if bits:
+                args.append(jax.device_put(
+                    jnp.asarray(u_rms, jnp.float64), dev))
+            y_dd = np.asarray(jax.jit(chain)(*args))
+            rel = float(np.sqrt(np.mean((y_dd - y_cpu) ** 2))
+                        / np.sqrt(np.mean(y_cpu ** 2)))
+            result[f"rms_rel_err_dd_semi_folded_{name}"] = rel
+            print(f"{name}: RMS {rel:.2e}", file=sys.stderr)
+            flush()
+
+            # --- RTF ----------------------------------------------------
+            seconds = 20.0 if sr < 100000.0 else 1.25
+            n = int(sr * seconds)
+            fn = jax.jit(lambda v, c: jnp.sum(jnp.abs(chain(v, c))))
+            ladder = batch_ladder if sr < 100000.0 else batch_ladder_384
+            if name in ("config5d32", "config5d24"):
+                ladder = (64, 32, 16)   # the dither scan wall is batch-
+                #                         independent; amortize it
+            rtf = None
+            for batch in ladder:
+                try:
+                    xb = jax.device_put(jnp.asarray(
+                        rng.normal(size=(batch, 2, n)) * 0.25,
+                        jnp.float64), dev)
+                    t0 = time.time()
+                    float(fn(xb, conv))
+                    print(f"{name} b{batch} compile+warm "
+                          f"{time.time() - t0:.0f}s", file=sys.stderr)
+                    walls = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        float(fn(xb, conv))
+                        walls.append(time.perf_counter() - t0)
+                    rtf = round(batch * seconds / min(walls), 1)
+                    result[key] = rtf
+                    result[f"{key}_batch"] = batch
+                    break
+                except Exception as e:          # noqa: BLE001
+                    print(f"{name} b{batch}: {type(e).__name__}",
+                          file=sys.stderr)
+                    continue
+            print(f"{name}: RTF {rtf}", file=sys.stderr)
+            if name in ("config5", "config5d32"):
+                result[f"dd_semi_folded_{name}_north_star"] = {
+                    "rms_le_1e-9": bool(rel <= 1e-9),
+                    "rtf_ge_1000x": bool(rtf is not None
+                                         and rtf >= 1000.0)}
+        except Exception as e:                   # noqa: BLE001
+            result[f"{key}_error"] = repr(e)[:400]
+            print(f"{name}: FAILED {e!r}", file=sys.stderr)
+        flush()
+    print(json.dumps({k: v for k, v in result.items()
+                      if "semi" in k}, indent=1))
+
+
 if __name__ == "__main__":
-    main()
+    if "--semi" in sys.argv:
+        sel = [a.split("=", 1)[1].split(",") for a in sys.argv
+               if a.startswith("--names=")]
+        semi_main(names=tuple(sel[0]) if sel else (
+            "config5", "config5d32", "config5d24", "config6"))
+    else:
+        main()

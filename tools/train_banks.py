@@ -64,13 +64,43 @@ def program_material(sr: float, seed: int = 7) -> np.ndarray:
     return audio / (np.abs(audio).max() * 1.5)
 
 
+EVAL_BLOCKS = 16    # warm-started stationary objective (see
+                    # NoiseShaperLearner.eval_blocks): the fir ladder's
+                    # closed loop can carry bursty multi-10k-sample limit
+                    # cycles that a single zero-state 4096 window scores
+                    # as quiet.
+
+
+def long_run_screen(k, sr, bits, n=300_000, seed=2):
+    """Stationary noise profile of a bank over n samples on the
+    production (fir) ladder: (early_rms_lsb, late_rms_lsb, state_max)."""
+    import jax.numpy as jnp
+    from convopeq_tpu.models.dither import lattice_dither, quant_scales
+    from convopeq_tpu.utils.dsputil import K_OUTPUT_HEADROOM
+    rng = np.random.default_rng(seed)
+    # clip gaussian tails: |x*h| > 1 hits the quantizer's fullscale clip
+    # whose (legitimate) error is thousands of LSB and would read as a
+    # shaper "burst" in a windowed RMS
+    x = jnp.asarray(np.clip(rng.normal(size=(1, n)) * 0.25, -0.9, 0.9),
+                    jnp.float64)
+    u = jnp.asarray(rng.random(size=(1, n, 2)), jnp.float64)
+    scale, _ = quant_scales(bits)
+    q, sf = lattice_dither(x, u, np.asarray(k), bits, ladder="fir",
+                           return_state=True)
+    e = (np.asarray(q)[0] - np.asarray(x)[0] * K_OUTPUT_HEADROOM) / scale
+    early = float(np.sqrt(np.mean(e[:32768] ** 2)))
+    late = float(np.sqrt(np.mean(e[-32768:] ** 2)))
+    smax = float(np.max(np.abs(np.asarray(sf))) / scale)
+    return early, late, smax
+
+
 def main():
     banks = AdaptiveCoefficientBanks()
     report = {}
     for sr, bits, mode in BANKS:
         t0 = time.time()
-        learner = NoiseShaperLearner(sr, bits, mode=mode, seed=0)
-        learner._uniforms = learner.rng.uniform(size=(2, K_FFT_LENGTH, 2))
+        learner = NoiseShaperLearner(sr, bits, mode=mode, seed=0,
+                                     eval_blocks=EVAL_BLOCKS)
         audio = program_material(sr)
         flat = float(learner._cost(np.zeros(9), audio))
         st = None
@@ -78,14 +108,26 @@ def main():
             st = learner.feed(audio, generations=1)
         banks.store_state(st, sr, bits, mode)
         gain = flat / max(st.best_score, 1e-30)
+        early, late, smax = long_run_screen(st.best_coefficients, sr, bits)
+        # hard screen: a factory bank must be stationary (no rail, no
+        # late-onset burst) — the defect class this trainer exists to
+        # exclude (the reference ladder rails for ANY bank; the fir
+        # ladder is bounded but can resonate)
+        assert late < 8.0 and late < 3.0 * early + 1.0, (
+            sr, bits, mode, early, late)
         report[str(coefficient_bank_index(sr, bits, mode))] = {
             "sample_rate": sr, "bit_depth": bits, "mode": mode,
+            "ladder": "fir",
             "flat_cost": flat, "best_score": st.best_score,
-            "gain_x": round(gain, 1), "generations": st.generations,
+            "gain_x": round(gain, 2), "generations": st.generations,
+            "long_run_rms_lsb": {"early": round(early, 3),
+                                 "late": round(late, 3),
+                                 "state_max": round(smax, 3)},
             "wall_s": round(time.time() - t0, 1),
         }
         print(f"bank sr={sr:.0f} bits={bits} mode={mode}: "
-              f"gain {gain:.1f}x in {time.time() - t0:.0f}s", flush=True)
+              f"gain {gain:.2f}x longrun {early:.2f}->{late:.2f} LSB "
+              f"in {time.time() - t0:.0f}s", flush=True)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump({"banks": banks.to_dict(), "training": report}, f,
