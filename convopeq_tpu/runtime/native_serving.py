@@ -34,11 +34,17 @@ class NativeServingLoop:
     """Dispatcher between the native block scheduler and a StreamingChain."""
 
     def __init__(self, chain, n_streams: int, capacity_blocks: int = 64,
-                 xrun_factor: float = 1.5, warmup: bool = True):
+                 xrun_factor: float = 1.5, warmup: bool = True,
+                 window_samples: int | None = None):
+        """window_samples: samples per dispatch unit (default one engine
+        block).  The windowed serving tiers (bigblock: partition =
+        block*M) dispatch M engine blocks per step; the native rings
+        then frame window-sized chunks — same lock-free plane, fewer,
+        larger windows (the deadline budget scales with the window)."""
         import jax.numpy as jnp
         self.chain = chain
         self.n_streams = n_streams
-        self.block = chain.block_size
+        self.block = int(window_samples or chain.block_size)
         self.sched = NativeBlockScheduler(
             n_streams, self.block, chain.cfg.sample_rate,
             capacity_blocks=capacity_blocks, xrun_factor=xrun_factor)

@@ -331,6 +331,67 @@ def test_engine_live_learning_session():
     np.testing.assert_allclose(grid, np.round(grid), atol=1e-9)
 
 
+def test_engine_live_learning_session_96k_publishes_bank_quality():
+    """Second end-to-end live-learning artifact (VERDICT r4 #10), on a
+    different (SR, depth, mode): 96 kHz / 24-bit / mode 2, fed the SAME
+    deterministic program material the factory-bank trainer uses.
+    Pins that a live session (a) publishes a bank MID-STREAM (visible
+    in adaptive_banks while the worker is still running), (b) converges
+    to factory-bank evaluator cost: the published coefficients, scored
+    with the trainer's warm-started objective, land within 5% of the
+    shipped 96k/24 factory bank's recorded best_score (at 24-bit the
+    masked floor ~= the flat cost, so this pins the whole live pipeline
+    — capture ring, leveling, CMA-ES, publication — not a large gain;
+    see test_learner.test_factory_bank_fixture_quality for the honest
+    quality statement)."""
+    import json
+    import os
+    import sys
+    import time
+    from convopeq_tpu.models.dither import ADAPTIVE9
+    from convopeq_tpu.models.learner import NoiseShaperLearner
+    from convopeq_tpu.ir.cmaes import CmaEs
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from train_banks import EVAL_BLOCKS, program_material
+
+    sr, bits, mode = 96000.0, 24, 2
+    eng = ConvoPeqEngine(sr, 512)
+    eng.set_bypass(eq=True, conv=True)
+    eng.set_dither(ADAPTIVE9, bits)
+    eng.start_learning(mode=mode)
+
+    audio = program_material(sr)
+    x = jnp.asarray(audio[None, :, :512 * 8] * 1.0)
+    st = None
+    deadline = time.monotonic() + 240.0
+    mid_stream_bank = None
+    while eng._learner.generation < 2 and time.monotonic() < deadline:
+        _, st = eng.process_streaming(x, state=st)
+        if eng._learner.generation >= 1 and mid_stream_bank is None:
+            mid_stream_bank = eng.adaptive_banks.get(sr, bits, mode)
+        time.sleep(0.05)
+    state = eng.stop_learning()
+    assert state.generations >= 2, "worker never completed 2 generations"
+    assert mid_stream_bank is not None, "no mid-stream publication"
+
+    # score the live-learned bank with the factory trainer's objective
+    k_live = eng.adaptive_banks.get(sr, bits, mode)
+    assert k_live is not None
+    path = os.path.join(os.path.dirname(__file__), "..", "convopeq_tpu",
+                        "data", "learned_banks.json")
+    with open(path) as f:
+        rec = [r for r in json.load(f)["training"].values()
+               if r["sample_rate"] == sr and r["bit_depth"] == bits][0]
+    scorer = NoiseShaperLearner(sr, bits, mode=mode, seed=0,
+                                eval_blocks=EVAL_BLOCKS)
+    cost_live = scorer._cost(CmaEs.parcor_to_unconstrained(
+        np.asarray(k_live)), audio)
+    assert cost_live <= rec["best_score"] * 1.05, (
+        cost_live, rec["best_score"])
+
+
 def test_mix_ramp_spans_short_buffers():
     """A wet/dry mix change whose smoothing window is longer than one
     process() buffer continues ramping across calls (the LinearRamp is

@@ -508,6 +508,11 @@ def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
             ir, eqp, cfg, x_rms, u_rms, k9, bits = build_semi_fixture(name)
             sr = cfg.sample_rate
             spec = FilterSpec(sample_rate=sr)
+            # golden FIRST (subprocess, CPU): if the tunnel wedges on the
+            # big device transfers below, the cheap artifact half exists
+            golden_path = f"/tmp/convopeq_cpu_semi_{name}.npy"
+            y_cpu = cpu_semi_reference(name, golden_path)
+            print(f"{name}: cpu golden done", file=sys.stderr)
             conv = prepare_semi_folded_convolver(
                 ir, 512, spec, cfg, eqp, dtype=jnp.float64)
 
@@ -524,9 +529,6 @@ def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
                 return y
 
             # --- RMS vs the CPU f64 golden of the same chain ------------
-            golden_path = f"/tmp/convopeq_cpu_semi_{name}.npy"
-            y_cpu = cpu_semi_reference(name, golden_path)
-            print(f"{name}: cpu golden done", file=sys.stderr)
             args = [jax.device_put(jnp.asarray(x_rms, jnp.float64), dev),
                     conv]
             if bits:
