@@ -40,6 +40,8 @@ by the shaper's feedback gain, determinism, and spectral equivalence.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -315,7 +317,6 @@ def _use_pallas_quantizer(x) -> bool:
     """Route f32 batches on a real TPU through the Pallas sequential
     quantizer (ops/pallas_kernels.error_feedback_quantize): bit-compatible
     with the lax.scan kernels and ~4x faster than even the unrolled scan."""
-    import os
     if os.environ.get("CONVOPEQ_DITHER_BACKEND", "auto") == "scan":
         return False
     return (jax.default_backend() not in ("cpu",)
@@ -329,7 +330,6 @@ def _use_residual_quantizer(x) -> bool:
     wall difference on the sequential path that batch cannot hide).
     CONVOPEQ_DD_DITHER=scan forces the plain f64 scans; =residual forces
     the residual kernels even on CPU (used by the equivalence tests)."""
-    import os
     mode = os.environ.get("CONVOPEQ_DD_DITHER", "auto")
     if mode == "scan":
         return False
@@ -384,8 +384,16 @@ def _residual_inputs(x, uniforms, bit_depth: int, headroom: float):
     t64 = (x * headroom) / scale          # exact: scale = 2^-(bits-1)
     m64 = jnp.round(t64)
     f = (t64 - m64).astype(jnp.float32)   # exact in f64; one f32 cast
-    u = jnp.asarray(uniforms, jnp.float64)
-    d = (u[..., 0] + u[..., 1] - 1.0).astype(jnp.float32)
+    u = jnp.asarray(uniforms)
+    if u.dtype == jnp.float32:
+        # f32 uniforms stay native: the TPDF draw is consumed at f32 in
+        # the residual loop anyway, and on TPU an f64 threefry draw is
+        # itself emulated (~400 ms for a 123M-draw batch, measured) —
+        # production dd dithering generates uniforms as f32
+        d = u[..., 0] + u[..., 1] - 1.0
+    else:
+        u = u.astype(jnp.float64)
+        d = (u[..., 0] + u[..., 1] - 1.0).astype(jnp.float32)
     # clip bounds relative to M: integers of magnitude <= 2^bits, exact
     # in f32
     lo = (-inv_scale - m64).astype(jnp.float32)
@@ -399,6 +407,34 @@ def _residual_state_in(state, batch, order, scale):
     if state is None:
         return jnp.zeros(batch + (order,), jnp.float32)
     return (jnp.asarray(state, jnp.float64) / scale).astype(jnp.float32)
+
+
+def _residual_pallas(x, uniforms, coeffs, bit_depth: int, headroom: float,
+                     mode: str):
+    """Residual quantizer on the Pallas sequential kernel.
+
+    FP arithmetic is scale-invariant under exact power-of-2 scaling, so
+    the f32 LSB-unit loop is BIT-IDENTICAL to running the standard
+    kernel on the scaled residual signal x_res = f * scale with
+    headroom 1: every intermediate is the residual loop's value times
+    scale (no over/underflow at |values| ~ 2^-23..2^-8).  The kernel's
+    fullscale clamps never engage for INTERIOR signals (|x*h| bounded
+    away from 1) — callers assert that via apply_dither's
+    assume_interior flag (e.g. a soft-clipped chain bounds |y| <= 0.85).
+    ~10x the scan's sequential rate (the per-sample body is a handful
+    of (1, R) vector ops instead of an XLA scan iteration)."""
+    from ..ops.pallas_kernels import error_feedback_quantize
+    scale, _inv = quant_scales(bit_depth)
+    t64 = (x * headroom) / scale
+    m64 = jnp.round(t64)
+    f32s = ((t64 - m64) * scale).astype(jnp.float32)   # exact x2^-k
+    u32 = jnp.asarray(uniforms, jnp.float32)
+    n = x.shape[-1]
+    q_std = error_feedback_quantize(
+        f32s.reshape((-1, n)), u32.reshape((-1, n, 2)), coeffs, scale,
+        1.0, mode=mode)
+    r = jnp.round(q_std.astype(jnp.float64) / scale).reshape(x.shape)
+    return (m64 + r) * scale
 
 
 def _residual_finish(m64, r, state_f32, scale, return_state):
@@ -738,7 +774,8 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
                  uniforms=None, key=None, adaptive_coeffs=None,
                  headroom: float = K_OUTPUT_HEADROOM,
                  state=None, return_state: bool = False,
-                 lattice_ladder: str = "fir"):
+                 lattice_ladder: str = "fir",
+                 assume_interior: bool = False):
     """Dither dispatch (DSPCoreDouble.cpp:644-653).  x: (..., N).
 
     uniforms: (..., N, 2) in [0,1); generated from `key` if omitted.
@@ -788,7 +825,30 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
     if _use_residual_quantizer(x):
         # f64 contract on a chip with no native f64: LSB-residual
         # kernels (sequential path in f32 LSB units, ~2^-47 signal-unit
-        # accuracy — see the block comment above their definitions)
+        # accuracy — see the block comment above their definitions).
+        # The sequential loop rides the Pallas quantizer when possible:
+        # psycho unconditionally (its loop has no fullscale clamps);
+        # the clamped shapers only under assume_interior (the caller
+        # guarantees |x*h| bounded away from fullscale, e.g. a
+        # soft-clipped chain), since the scaled-residual form cannot
+        # represent the clamp boundaries.
+        pallas_ok = (not stateful
+                     and os.environ.get("CONVOPEQ_DITHER_BACKEND",
+                                        "auto") != "scan"
+                     and jax.default_backend() not in ("cpu",))
+        if pallas_ok and shaper_type == PSYCHOACOUSTIC:
+            return _residual_pallas(x, uniforms,
+                                    psycho_coeffs(sample_rate, bit_depth),
+                                    bit_depth, headroom, "psycho")
+        if pallas_ok and assume_interior and shaper_type == ADAPTIVE9 \
+                and not isinstance(adaptive_coeffs, jax.core.Tracer):
+            k9 = np.zeros(NS_ORDER_LATTICE) if adaptive_coeffs is None \
+                else np.asarray(adaptive_coeffs, np.float64)
+            k9 = np.clip(np.nan_to_num(k9), -LATTICE_COEFF_LIMIT,
+                         LATTICE_COEFF_LIMIT)
+            mode = "lattice_fir" if lattice_ladder == "fir" else "lattice"
+            return _residual_pallas(x, uniforms, k9, bit_depth, headroom,
+                                    mode)
         if shaper_type == PSYCHOACOUSTIC:
             return psycho_dither_residual(
                 x, uniforms, sample_rate, bit_depth, headroom,

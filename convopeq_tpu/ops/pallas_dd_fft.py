@@ -550,25 +550,23 @@ def _irfft_valid_dd_raw(Yrh, Yrl, Yih, Yil, p: int, s: int,
 
 # ------------------------------------------------------------ dd frame MAC
 #
-# Same head-free phase-copy scheme as pallas_gemm_fft._mac_kernel (the
-# shift b baked into a copy makes the causal slice an ALIGNED source
-# [0, K-8a) -> ALIGNED destination [8a, K) add, so no zero-head rows are
-# stored and phase b=0 reads the x block directly), with dd complex
-# arithmetic: Dekker two_prod for the hi*hi products (exact), f32 cross
-# terms (2^-48 relative), dd accumulation.
+# Same phase-copy alignment scheme as pallas_gemm_fft._mac_kernel (8
+# shifted copies of the frame column make every causal slice start
+# 8-aligned), with dd complex arithmetic: Dekker two_prod for the hi*hi
+# products (exact), f32 cross terms (2^-48 relative), dd accumulation.
 
 _DD_MAC_VMEM_BUDGET = 11 * 2 ** 20
 
 
 def _dd_mac_tile(K: int, g: int, P: int) -> int | None:
     K = _round8(K)
-    nph = max(1, min(8, P) - 1)
-    rows = K + 8
+    P8 = _round8(max(P - 1, 1))
+    rows = P8 + 8 + K
 
     def need(d: int) -> int:
         # 4 phase-copy scratches (x2 double-buffer-free, they are
         # scratch) + 4 x-in + 4 y-out blocks (x2 for pipelining) + 4 h
-        return (4 * nph * rows + 8 * 4 * K + 4 * P + 10 * K) * d * 4
+        return (4 * 8 * rows + 8 * 4 * K + 4 * P + 10 * K) * d * 4
 
     cands = [d for d in range(128, g + 1, 128)
              if g % d == 0 and need(d) <= _DD_MAC_VMEM_BUDGET]
@@ -584,28 +582,27 @@ def _acc_dd(h_ref, l_ref, ph, plo):
     l_ref[0] += e + plo
 
 
-def _acc_dd_slice(h_ref, l_ref, f0: int, L: int, ph, plo):
-    sl = pl.ds(f0, L)
-    h = h_ref[0, sl]
-    sm, e = _two_sum(h, ph)
-    h_ref[0, sl] = sm
-    l_ref[0, sl] += e + plo
-
-
 @_kernel_body
 def _dd_mac_kernel(xrh_ref, xrl_ref, xih_ref, xil_ref,
                    hrh_ref, hrl_ref, hih_ref, hil_ref,
                    yrh_ref, yrl_ref, yih_ref, yil_ref,
                    prh, prl, pih, pil, *, K: int, P: int):
+    P8 = _round8(max(P - 1, 1))
     tb = prh.shape[2]
 
+    zhead = jnp.zeros((P8, tb), jnp.float32)
     for buf, src in ((prh, xrh_ref), (prl, xrl_ref), (pih, xih_ref),
                      (pil, xil_ref)):
         x = src[0]
-        for b in range(1, min(8, P)):
-            head = jnp.zeros((b, tb), jnp.float32)
+        for b in range(8):
+            buf[b, pl.ds(0, P8)] = zhead
             tail = jnp.zeros((8 - b, tb), jnp.float32)
-            buf[b - 1] = jnp.concatenate([head, x, tail], axis=0)
+            if b == 0:
+                sh = jnp.concatenate([x, tail], axis=0)
+            else:
+                head = jnp.zeros((b, tb), jnp.float32)
+                sh = jnp.concatenate([head, x, tail], axis=0)
+            buf[b, pl.ds(P8, K + 8)] = sh
 
     zf = jnp.zeros((K, tb), jnp.float32)
     yrh_ref[0] = zf
@@ -615,17 +612,15 @@ def _dd_mac_kernel(xrh_ref, xrl_ref, xih_ref, xil_ref,
 
     na = (P + 7) // 8
     for a in range(na):
-        f0 = 8 * a
-        L = K - f0
-        if L <= 0:
-            break       # j >= K: no output row f >= j exists
-        nb = min(8, P - f0)
+        start = P8 - 8 * a
+        nb = min(8, P - 8 * a)
 
-        def term(arh, arl, aih, ail, j, f0=f0, L=L):
-            # j may be a static python int (b=0 phase) or the traced
-            # fori index — pl.ds handles both; a traced-but-loop-free
-            # index must NOT be wrapped in jnp.int32 outside the loop
-            # (Pallas load lowering rejects it)
+        def body(b, _, a=a, start=start):
+            j = 8 * a + b
+            arh = prh[b, pl.ds(start, K)]
+            arl = prl[b, pl.ds(start, K)]
+            aih = pih[b, pl.ds(start, K)]
+            ail = pil[b, pl.ds(start, K)]
             hrh = hrh_ref[pl.ds(j, 1)]
             hrl = hrl_ref[pl.ds(j, 1)]
             hih = hih_ref[pl.ds(j, 1)]
@@ -636,33 +631,18 @@ def _dd_mac_kernel(xrh_ref, xrl_ref, xih_ref, xil_ref,
             hi1, hi2 = _split12(hih)
             # yr += ar*hr - ai*hi ; yi += ar*hi + ai*hr   (dd)
             p1, e1 = _two_prod(arh, ar1, ar2, hrh, hr1, hr2)
-            _acc_dd_slice(yrh_ref, yrl_ref, f0, L, p1,
-                          e1 + (arh * hrl + arl * hrh))
+            _acc_dd(yrh_ref, yrl_ref, p1, e1 + (arh * hrl + arl * hrh))
             p2, e2 = _two_prod(aih, ai1, ai2, hih, hi1, hi2)
-            _acc_dd_slice(yrh_ref, yrl_ref, f0, L, -p2,
-                          -(e2 + (aih * hil + ail * hih)))
+            _acc_dd(yrh_ref, yrl_ref, -p2, -(e2 + (aih * hil + ail * hih)))
             p3, e3 = _two_prod(arh, ar1, ar2, hih, hi1, hi2)
-            _acc_dd_slice(yih_ref, yil_ref, f0, L, p3,
-                          e3 + (arh * hil + arl * hih))
+            _acc_dd(yih_ref, yil_ref, p3, e3 + (arh * hil + arl * hih))
             p4, e4 = _two_prod(aih, ai1, ai2, hrh, hr1, hr2)
-            _acc_dd_slice(yih_ref, yil_ref, f0, L, p4,
-                          e4 + (aih * hrl + ail * hrh))
-
-        # b = 0 phase straight from the x blocks (static H row f0)
-        term(xrh_ref[0, pl.ds(0, L)], xrl_ref[0, pl.ds(0, L)],
-             xih_ref[0, pl.ds(0, L)], xil_ref[0, pl.ds(0, L)], f0)
-        if nb <= 1:
-            continue
-
-        def body(b, _, term=term, L=L, f0=f0):
-            j = jnp.int32(f0) + b
-            term(prh[b - 1, pl.ds(0, L)], prl[b - 1, pl.ds(0, L)],
-                 pih[b - 1, pl.ds(0, L)], pil[b - 1, pl.ds(0, L)], j)
+            _acc_dd(yih_ref, yil_ref, p4, e4 + (aih * hrl + ail * hrh))
             return jnp.int32(0)
 
         # i32 bounds AND carry: under x64 plain-int literals make the
         # loop index/carry i64, which Mosaic cannot legalize
-        jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), body, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, jnp.int32(0))
 
 
 def _causal_mac_dd_raw(Xrh, Xrl, Xih, Xil, Grh, Grl, Gih, Gil,
@@ -677,8 +657,8 @@ def _causal_mac_dd_raw(Xrh, Xrl, Xih, Xil, Grh, Grl, Gih, Gil,
         raise ValueError(
             f"dd MAC shape (K={K}, g={g}, P={P}) exceeds the VMEM budget "
             "— gate with causal_mac_dd_supported()")
-    nph = max(1, min(8, P) - 1)
-    rows = K + 8
+    P8 = _round8(max(P - 1, 1))
+    rows = P8 + 8 + K
 
     xs = [a.reshape(C, K, g) for a in (Xrh, Xrl, Xih, Xil)]
     z = np.int32(0)
@@ -692,7 +672,7 @@ def _causal_mac_dd_raw(Xrh, Xrl, Xih, Xil, Grh, Grl, Gih, Gil,
         in_specs=[xspec] * 4 + [hspec] * 4,
         out_specs=[xspec] * 4,
         out_shape=[jax.ShapeDtypeStruct((C, K, g), jnp.float32)] * 4,
-        scratch_shapes=[pltpu.VMEM((nph, rows, tb), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((8, rows, tb), jnp.float32)] * 4,
         interpret=interpret,
     )(*xs, Grh, Grl, Gih, Gil)
     return tuple(a.reshape(shape) for a in outs)

@@ -518,11 +518,11 @@ def _mac_tile(K: int, g: int, P: int) -> int | None:
     (x2 double-buffered); the in-kernel concatenate temporaries of the
     copy build (~3 (K+8, tb) arrays) ride in the deliberate headroom
     between the budget and real VMEM (~16 MiB)."""
-    nph = max(1, min(8, P) - 1)
-    rows = K + 8
+    P8 = _round8(max(P - 1, 1))
+    rows = P8 + 8 + K
 
     def need(d: int) -> int:
-        return (nph * rows * 2      # phase-copy scratch, re+im planes
+        return (8 * rows * 2        # phase-copy scratch, re+im planes
                 + 4 * 2 * K         # x in + y out blocks, double-buffered
                 + 2 * 2 * P         # h blocks, double-buffered
                 + 3 * (K + 8)       # copy-build concat temporaries
@@ -542,33 +542,26 @@ def causal_mac_grid_supported(K: int, g: int, P: int) -> bool:
 
 def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
                 xpr, xpi, *, K: int, P: int):
-    """Head-free phase-copy MAC.
-
-    For j = 8a + b the causal term Y[f] += X[f-j] H[j] restricted to
-    valid rows f >= j is an ALIGNED-to-ALIGNED slice add once the phase
-    shift b is baked into a copy: with Xp_b[f'] = X[f'-b],
-
-        Y[8a : K] += Xp_b[0 : K-8a] * H[8a+b]
-
-    — both row starts are multiples of 8 and STATIC (a is unrolled), so
-    no zero-head rows are ever stored.  The r4 kernel padded every copy
-    with a round8(P-1)-row zero head to give the 8-aligned dynamic
-    starts a landing zone; at the headline shape (P=33, K=88) that made
-    the scratch build 8x(32+8+K) rows — a 28 ms FIXED cost that
-    dominated the MAC wall (PERF.md P-sweep).  This build writes
-    7x(K+8) rows (phase b=0 reads the x block directly; phases b >= P
-    are never built), ~40% less, and the shrinking Y slice trims the
-    accumulate loop too."""
+    P8 = _round8(max(P - 1, 1))
     tb = xpr.shape[2]
 
     xr = xr_ref[0]
     xi = xi_ref[0]
-    for b in range(1, min(8, P)):
-        # aligned store of the b-shifted frame column: K + 8 rows
-        head = jnp.zeros((b, tb), jnp.float32)
+    zhead = jnp.zeros((P8, tb), jnp.float32)
+    for b in range(8):
+        xpr[b, pl.ds(0, P8)] = zhead
+        xpi[b, pl.ds(0, P8)] = zhead
+        # aligned store of the b-shifted frame column: rows [P8, P8+K+8)
         tail = jnp.zeros((8 - b, tb), jnp.float32)
-        xpr[b - 1] = jnp.concatenate([head, xr, tail], axis=0)
-        xpi[b - 1] = jnp.concatenate([head, xi, tail], axis=0)
+        if b == 0:
+            shr = jnp.concatenate([xr, tail], axis=0)
+            shi = jnp.concatenate([xi, tail], axis=0)
+        else:
+            head = jnp.zeros((b, tb), jnp.float32)
+            shr = jnp.concatenate([head, xr, tail], axis=0)
+            shi = jnp.concatenate([head, xi, tail], axis=0)
+        xpr[b, pl.ds(P8, K + 8)] = shr
+        xpi[b, pl.ds(P8, K + 8)] = shi
 
     zf = jnp.zeros((K, tb), jnp.float32)
     yr_ref[0] = zf
@@ -576,38 +569,25 @@ def _mac_kernel(xr_ref, xi_ref, hr_ref, hi_ref, yr_ref, yi_ref,
 
     na = (P + 7) // 8
     for a in range(na):                     # static: aligned row starts
-        f0 = 8 * a
-        L = K - f0
-        if L <= 0:
-            break       # j >= K: no output row f >= j exists
-        nb = min(8, P - f0)                 # j = 8a + b < P
-        # b = 0 phase: the unshifted frames come straight from the x
-        # block (no copy exists for it)
-        ar = xr_ref[0, pl.ds(0, L)]
-        ai = xi_ref[0, pl.ds(0, L)]
-        hr = hr_ref[pl.ds(f0, 1)]
-        hi = hi_ref[pl.ds(f0, 1)]
-        yr_ref[0, pl.ds(f0, L)] += ar * hr - ai * hi
-        yi_ref[0, pl.ds(f0, L)] += ar * hi + ai * hr
-        if nb <= 1:
-            continue
+        start = P8 - 8 * a
+        nb = min(8, P - 8 * a)              # j = 8a + b < P
 
-        def body(b, _, a=a, f0=f0, L=L):
+        def body(b, _, a=a, start=start):
             # i32 arithmetic throughout: under x64 a bare `8 * a + b`
             # mixes an i64 literal with the i32 loop index, which Mosaic
             # rejects ('arith.addi' operand type mismatch) — x64 is live
             # here when the f64-emulated chain drives the f32 kernels
             # (tools/tpu_parity.py)
-            j = jnp.int32(f0) + b
-            ar = xpr[b - 1, pl.ds(0, L)]
-            ai = xpi[b - 1, pl.ds(0, L)]
+            j = jnp.int32(8 * a) + b
+            ar = xpr[b, pl.ds(start, K)]
+            ai = xpi[b, pl.ds(start, K)]
             hr = hr_ref[pl.ds(j, 1)]
             hi = hi_ref[pl.ds(j, 1)]
-            yr_ref[0, pl.ds(f0, L)] += ar * hr - ai * hi
-            yi_ref[0, pl.ds(f0, L)] += ar * hi + ai * hr
+            yr_ref[0] += ar * hr - ai * hi
+            yi_ref[0] += ar * hi + ai * hr
             return jnp.int32(0)
 
-        jax.lax.fori_loop(jnp.int32(1), jnp.int32(nb), body, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -625,8 +605,8 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
         raise ValueError(
             f"causal MAC shape (K={K}, g={g}, P={P}) exceeds the VMEM "
             "budget — gate with causal_mac_grid_supported()")
-    nph = max(1, min(8, P) - 1)
-    rows = K + 8
+    P8 = _round8(max(P - 1, 1))
+    rows = P8 + 8 + K
 
     xr = Xr.reshape(C, K, g)
     xi = Xi.reshape(C, K, g)
@@ -641,7 +621,7 @@ def _causal_mac_grid_impl(Xr, Xi, Gr, Gi, p: int, interpret: bool):
         in_specs=[xspec, xspec, hspec, hspec],
         out_specs=[xspec, xspec],
         out_shape=[jax.ShapeDtypeStruct((C, K, g), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((nph, rows, tb), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((8, rows, tb), jnp.float32)] * 2,
         interpret=interpret,
     )(xr, xi, Gr, Gi)
     return yr.reshape(shape), yi.reshape(shape)

@@ -498,3 +498,54 @@ def test_fir_ladder_residual_long_run_exact():
     nz = int(np.count_nonzero(d))
     assert nz <= 20, f"{nz} flips over 300k samples (expected isolated)"
     assert np.max(np.abs(d)) <= 1.0 + 1e-9
+
+
+def test_residual_pallas_matches_residual_scan():
+    """The scaled-residual Pallas route (_residual_pallas: the standard
+    sequential kernel fed f*scale with headroom 1 — FP scale-invariance
+    makes it the residual loop times 2^-k exactly) vs the residual scan
+    kernels, on interior signals.  fir-ladder finite memory keeps any
+    codegen ULP flips isolated; psycho is compared pre-onset + on-grid."""
+    from convopeq_tpu.models.dither import (
+        _residual_pallas, lattice_dither_residual, psycho_dither_residual,
+        psycho_coeffs)
+    n = 60_000
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(2, n)) * 0.3, jnp.float64)
+    u = jnp.asarray(rng.random(size=(2, n, 2)), jnp.float64)
+    k9 = np.array([0.31, -0.22, 0.15, -0.09, 0.06, -0.04, 0.02,
+                   -0.012, 0.008])
+    scale, _ = quant_scales(24)
+    q_scan = np.asarray(lattice_dither_residual(x, u, k9, 24,
+                                                ladder="fir"))
+    q_pal = np.asarray(_residual_pallas(x, u, k9, 24, K_OUTPUT_HEADROOM,
+                                        "lattice_fir"))
+    d = (q_pal - q_scan) / scale
+    # XLA:CPU compiles the scan and the interpreted kernel body with
+    # different codegen (FMA contraction differs per program — the
+    # established cross-program caveat, tests/test_pallas.py note), so
+    # CPU flips occur at a low rate; the contract here is ISOLATED
+    # one-LSB flips (fir finite memory: each event perturbs <= ~12
+    # samples) at a bounded rate.  On the TPU both paths lower
+    # identically (r3/r4 on-chip bit-compat probes).
+    nz = int(np.count_nonzero(d))
+    assert nz <= 300, nz
+    assert np.max(np.abs(d)) <= 1.0 + 1e-9
+    idx = np.argwhere(d != 0)
+    for ch in range(2):
+        i = idx[idx[:, 0] == ch][:, 1]
+        if len(i) > 1:
+            gaps = np.diff(i)
+            # events are isolated: every run of consecutive flips is
+            # short (<= 12 samples of fir memory + rounding slack)
+            runs = np.split(i, np.nonzero(gaps > 12)[0] + 1)
+            assert max(len(r2) for r2 in runs) <= 12
+
+    c = psycho_coeffs(48000.0, 24)
+    q_scan = np.asarray(psycho_dither_residual(x[:, :4096], u[:, :4096],
+                                               48000.0, 24))
+    q_pal = np.asarray(_residual_pallas(x[:, :4096], u[:, :4096], c, 24,
+                                        K_OUTPUT_HEADROOM, "psycho"))
+    np.testing.assert_array_equal(q_pal[:, :128], q_scan[:, :128])
+    grid = q_pal / scale
+    np.testing.assert_allclose(grid, np.round(grid), atol=0)

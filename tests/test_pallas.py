@@ -247,6 +247,26 @@ def test_pallas_kernels_lower_for_tpu():
             jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
 
 
+def test_quantizer_kernel_lowers_for_tpu():
+    """AOT cross-lowering of the sequential dither quantizer for every
+    mode (incl. the round-5 lattice_fir state store) — the bench
+    config6 path compiles this on-chip with no fallback gate."""
+    import jax
+    from convopeq_tpu.ops import pallas_kernels as pk
+
+    with jax.enable_x64(False):
+        x = jnp.zeros((8, 1024), jnp.float32)
+        u = jnp.zeros((8, 1024, 2), jnp.float32)
+        c9 = np.linspace(-0.2, 0.2, 9)
+        c12 = np.linspace(-0.5, 0.5, 12)
+        for mode, c in (("psycho", c12), ("fixed", c9[:4]),
+                        ("fixed15", np.linspace(-0.5, 0.5, 16)),
+                        ("lattice", c9), ("lattice_fir", c9)):
+            fn = lambda a, b, _c=c, _m=mode: pk.error_feedback_quantize(
+                a, b, _c, 1.0 / 32768.0, 0.89, mode=_m, chunk=256)
+            jax.jit(fn).trace(x, u).lower(lowering_platforms=("tpu",))
+
+
 def test_uniform_partitioned_conv_pallas_path():
     """frame_mac='pallas' (interpret via monkeypatched kernels on CPU)
     equals the frame-FFT reference path."""

@@ -604,6 +604,16 @@ def frontier(args):
     lf = results.setdefault(key, {})
     lf["ir_taps"] = args.ir_taps
     lf["blocks"] = args.blocks
+    if "pipelined" not in args.modes and "pipelined" in lf:
+        # retire the dominated mode from the artifact of record
+        # (VERDICT r4 weak #4): at every r4 frontier point it was
+        # equal-or-worse than multi and strictly dominated by bigblock
+        del lf["pipelined"]
+        lf["retired_modes"] = {
+            "pipelined": "dominated at every measured point (r4: 256 "
+                         "streams M=8 7 xruns vs 0; M=16 206 ms median "
+                         "vs 119; bigblock better everywhere) — "
+                         "re-measure with --modes pipelined"}
     reduce1 = jax.jit(lambda v: jnp.sum(v[..., -1]))
 
     def measure(step_window, init, M, ns):

@@ -504,6 +504,15 @@ def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
     rng = np.random.default_rng(1)
     for name in names:
         key = f"rtf_dd_semi_folded_{name}"
+        if name.startswith("config5d"):
+            # 7 Ozaki slices for the dithered dd lines: the quantizer
+            # makes the chain's 2^-42-truncation deviation VISIBLE as
+            # rounding flips (rel_rms ~ LSB*sqrt(dev/LSB); measured
+            # 1.52e-9 at 32-bit with s=6) — s=7 cuts the upstream
+            # deviation ~100x for ~1.3x the conv's MXU passes
+            os.environ["CONVOPEQ_DD_SLICES"] = "7"
+        else:
+            os.environ.pop("CONVOPEQ_DD_SLICES", None)
         try:
             ir, eqp, cfg, x_rms, u_rms, k9, bits = build_semi_fixture(name)
             sr = cfg.sample_rate
@@ -520,12 +529,18 @@ def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
                 y = process_chain_semi_fused(v, cfg, c)
                 if bits:
                     if uu is None:
+                        # f32 threefry: the residual quantizer consumes
+                        # the TPDF draw at f32; an f64 draw is emulated
+                        # (~400 ms at batch 32, measured)
                         uu = jax.random.uniform(jax.random.PRNGKey(0),
                                                 y.shape + (2,),
-                                                dtype=y.dtype)
+                                                dtype=jnp.float32)
+                    # the soft-clipped chain bounds |y| <= ~0.85 FS, so
+                    # the clamp-free scaled-residual Pallas path is exact
                     y = apply_dither(y, ADAPTIVE9, sr, bits, uniforms=uu,
                                      adaptive_coeffs=k9,
-                                     lattice_ladder="fir")
+                                     lattice_ladder="fir",
+                                     assume_interior=True)
                 return y
 
             # --- RMS vs the CPU f64 golden of the same chain ------------
