@@ -430,9 +430,13 @@ def _residual_pallas(x, uniforms, coeffs, bit_depth: int, headroom: float,
     f32s = ((t64 - m64) * scale).astype(jnp.float32)   # exact x2^-k
     u32 = jnp.asarray(uniforms, jnp.float32)
     n = x.shape[-1]
-    q_std = error_feedback_quantize(
-        f32s.reshape((-1, n)), u32.reshape((-1, n, 2)), coeffs, scale,
-        1.0, mode=mode)
+    # tracing pallas_call under x64 recurses in JAX's lowering cache
+    # (see tests/test_pallas.py lowering-gate note); every operand here
+    # is f32, so scope x64 off around the kernel call
+    with jax.enable_x64(False):
+        q_std = error_feedback_quantize(
+            f32s.reshape((-1, n)), u32.reshape((-1, n, 2)), coeffs,
+            scale, 1.0, mode=mode)
     r = jnp.round(q_std.astype(jnp.float64) / scale).reshape(x.shape)
     return (m64 + r) * scale
 
