@@ -836,10 +836,17 @@ def apply_dither(x, shaper_type: int, sample_rate: float, bit_depth: int,
         # guarantees |x*h| bounded away from fullscale, e.g. a
         # soft-clipped chain), since the scaled-residual form cannot
         # represent the clamp boundaries.
+        rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         pallas_ok = (not stateful
                      and os.environ.get("CONVOPEQ_DITHER_BACKEND",
                                         "auto") != "scan"
-                     and jax.default_backend() not in ("cpu",))
+                     and jax.default_backend() not in ("cpu",)
+                     # the kernel lays rows on VPU lanes (padded to
+                     # 128): a near-single-stream call would pad its
+                     # whole time axis 16-64x in HBM (measured: a
+                     # (2, 2.9M) fixture OOMs at 20 GB) — the scan path
+                     # is the right engine at low row counts
+                     and rows >= 16)
         if pallas_ok and shaper_type == PSYCHOACOUSTIC:
             return _residual_pallas(x, uniforms,
                                     psycho_coeffs(sample_rate, bit_depth),

@@ -467,6 +467,8 @@ def build_semi_fixture(name: str, seconds_rms: float | None = None):
 
 
 def cpu_semi_reference(name: str, path: str):
+    if os.path.exists(path):      # deterministic fixture: reuse within
+        return np.load(path)      # a session (delete /tmp to refresh)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     code = _CPU_SEMI_SNIPPET % {"repo": REPO, "name": name, "out": path}
     subprocess.run([sys.executable, "-c", code], env=env, check=True,
@@ -553,6 +555,7 @@ def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
             rel = float(np.sqrt(np.mean((y_dd - y_cpu) ** 2))
                         / np.sqrt(np.mean(y_cpu ** 2)))
             result[f"rms_rel_err_dd_semi_folded_{name}"] = rel
+            result.pop(f"{key}_error", None)   # clear stale merge keys
             print(f"{name}: RMS {rel:.2e}", file=sys.stderr)
             flush()
 
@@ -562,8 +565,8 @@ def semi_main(batch_ladder=(16, 8, 4), batch_ladder_384=(32, 16, 8),
             fn = jax.jit(lambda v, c: jnp.sum(jnp.abs(chain(v, c))))
             ladder = batch_ladder if sr < 100000.0 else batch_ladder_384
             if name in ("config5d32", "config5d24"):
-                ladder = (64, 32, 16)   # the dither scan wall is batch-
-                #                         independent; amortize it
+                ladder = (56, 52, 48)   # b64 OOMs; the quantizer wall is
+                #                         batch-independent; amortize it
             rtf = None
             for batch in ladder:
                 try:
