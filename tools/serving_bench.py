@@ -406,20 +406,21 @@ def native_at_scale(args):
     produced = [0] * ns
 
     def producer(streams):
+        # paced producers: one window per stream per attempt round, a
+        # short sleep between rounds — a failed push then means the
+        # ring genuinely backed up (in_overflows keeps its real-time
+        # meaning) instead of counting busy-loop spins
         r = np.random.default_rng(hash(tuple(streams)) & 0xFFFF)
         bufs = [np.asarray(r.normal(size=(2, win)) * 0.25, np.float32)
                 for _ in range(4)]
         k = 0
         while not stop.is_set():
-            idle = True
             for i in streams:
-                if produced[i] <= nwin + 4 and loop.push(
-                        i, bufs[k % 4]):
-                    produced[i] += 1
-                    idle = False
+                if produced[i] <= nwin + 4:
+                    if loop.push(i, bufs[k % 4]):
+                        produced[i] += 1
             k += 1
-            if idle:
-                time.sleep(2e-4)
+            time.sleep(5e-3)
 
     def consumer(streams):
         sink = np.zeros(1, np.float64)
@@ -457,6 +458,17 @@ def native_at_scale(args):
             stats.get("served_blocks", 0) * win / SR / wall, 1),
         "plane": "C++ cq_sched SPSC rings + gather/commit "
                  "(native/convopeq_native.cpp)",
+        "note": "serves FRESH host audio every window: the wall "
+                "includes the host->device transfer of "
+                "streams x 2ch x window samples through the axon "
+                "tunnel (~16 MB/window at 256 streams), whose ~7 MB/s "
+                "ingest bandwidth is the binding constraint HERE — "
+                "sustainable streams_x_realtime ~= bandwidth / "
+                "(4 B x 2ch x 48k) ~= 19, matching the measurement.  "
+                "The latency_frontier numbers measure DEVICE-side "
+                "serving capacity (pre-staged device buffers); on "
+                "locally-attached TPU (PCIe, GB/s) the ingest wall "
+                "sits orders of magnitude higher.",
     })
     path = os.path.join(REPO, "SERVING.json")
     results = {}
@@ -540,7 +552,7 @@ def fidelity(args):
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)
-    results["serving_fidelity_vs_f64_cpu"] = out
+    results.setdefault("serving_fidelity_vs_f64_cpu", {}).update(out)
     _flush(results)
     print(json.dumps(out))
 
